@@ -1,0 +1,345 @@
+"""Spark surface of the HLL engine: vectorized pandas/Arrow UDFs and
+DataFrame-level operators.
+
+Scale design (the part that matters at 10^12 rows):
+
+- ``hll_partial_sketches`` is a ``mapInPandas`` **map-side combine**: each
+  input partition folds its rows into one raw register array per group and
+  emits one ~(16 B..12 KB) sketch row per (partition, group). The shuffle
+  that follows carries only those sketches — never raw elements. This
+  mirrors the reference's batched ``pfAddMany`` hot path
+  (hyperloglog.c:1192-1219) with Arrow batches as the batch unit.
+- ``hll_merge_agg`` is the final/merge half: an associative-commutative
+  element-wise max (hyperloglog.c:1038-1077), safe under any partition
+  grouping or AQE re-plan.
+- Grouped-agg pandas UDF ``hll_sketch_agg`` is also provided for SQL
+  composition (`GROUP BY` over raw values); note Spark executes grouped-agg
+  pandas UDFs with a full shuffle of input rows, so the two-phase operator
+  above is the preferred path at scale.
+
+No per-row Python anywhere: hashing reads Arrow string buffers directly
+(offsets + data) and the per-batch work is numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import codec, kernel
+from ..kernel import HLL_P_DEFAULT
+
+
+# ---------------------------------------------------------------------------
+# Arrow-buffer extraction: pd.Series[str|bytes] -> (uint8 data, int64 offsets)
+# ---------------------------------------------------------------------------
+
+def _series_to_buffers(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Zero-Python-loop extraction of the concatenated byte payload and
+    offsets from a pandas Series of strings/bytes via Arrow.
+
+    Returns (data, offsets, valid_mask); null elements are dropped by the
+    caller using the mask (Spark aggregate semantics ignore NULLs).
+    """
+    arr = pa.array(series, from_pandas=True)
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    elif not pa.types.is_large_binary(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_utf8())
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    null_mask = None
+    if arr.null_count:
+        null_mask = np.asarray(arr.is_valid())
+        arr = arr.drop_null()
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data_buf = buffers[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8, count=int(offsets[-1]) - int(offsets[0]), offset=int(offsets[0]))
+        if data_buf is not None and len(arr)
+        else np.empty(0, np.uint8)
+    )
+    if int(offsets[0]) != 0:
+        offsets = offsets - offsets[0]
+    return data, offsets, null_mask
+
+
+def _batch_idx_rho(series: pd.Series, p: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    data, offsets, valid = _series_to_buffers(series)
+    if len(offsets) <= 1:
+        return np.empty(0, np.int64), np.empty(0, np.uint8), valid
+    idx, rho = kernel.hash_idx_rho(kernel.murmur64a(data, offsets), p)
+    return idx, rho, valid
+
+
+# ---------------------------------------------------------------------------
+# Map-side partial aggregation (the scale path)
+# ---------------------------------------------------------------------------
+
+def hll_partial_sketches(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = HLL_P_DEFAULT,
+) -> DataFrame:
+    """Per-partition, per-group partial sketches via ``mapInPandas``.
+
+    Output schema: ``keys... , sketch binary`` — one row per (input
+    partition, group). State per partition is ``n_groups_in_partition x 2^p``
+    bytes; for very high-cardinality keys pre-``repartition(keys)`` so each
+    partition only holds its own groups (see hll_count_distinct).
+    """
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType(), False)])
+    m = kernel.m_for_p(p)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            idx, rho, valid = _batch_idx_rho(pdf[value_col], p)
+            if not keys:
+                codes = np.zeros(len(idx), dtype=np.int64)
+                uniques_rows = [()]
+            else:
+                if len(keys) == 1:
+                    codes_full, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+                    uniques_rows = [(u,) for u in uniques]
+                else:
+                    mi = pd.MultiIndex.from_frame(pdf[keys])
+                    codes_full, uniques = pd.factorize(mi, use_na_sentinel=False)
+                    uniques_rows = list(uniques)
+                codes = codes_full[valid] if valid is not None else codes_full
+            # every group present in the batch gets a sketch, even if all of
+            # its values are NULL (→ empty sketch, count 0)
+            for row in uniques_rows:
+                if row not in acc:
+                    acc[row] = np.zeros(m, dtype=np.uint8)
+            if len(idx) == 0:
+                continue
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            bounds = np.flatnonzero(np.diff(sc)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sc)]))
+            si, sr = idx[order], rho[order]
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                np.maximum.at(acc[uniques_rows[sc[s]]], si[s:e], sr[s:e])
+        if not acc:
+            return
+        rows = list(acc.keys())
+        out = {}
+        for ki, k in enumerate(keys):
+            out[k] = [r[ki] for r in rows]
+        out["sketch"] = [codec.serialize(acc[r]) for r in rows]
+        yield pd.DataFrame(out)
+
+    return df.select(*keys, value_col).mapInPandas(fold, schema=out_schema)
+
+
+def make_hll_merge_agg(p: int = HLL_P_DEFAULT):
+    """Grouped-agg pandas UDF: column of HYLL blobs -> merged HYLL blob.
+
+    The final/merge half of the distributed aggregation; NULL inputs are
+    treated as empty sketches (hyperloglog.c:1293,1319).
+    """
+
+    @pandas_udf(BinaryType())
+    def hll_merge_agg(blobs: pd.Series) -> bytes:
+        acc = None
+        for blob in blobs:
+            if blob is None:
+                continue
+            regs = codec.deserialize(bytes(blob)).regs
+            acc = regs if acc is None else kernel.merge_registers(acc, regs)
+        if acc is None:
+            acc = kernel.empty_registers(p)
+        return codec.serialize(acc)
+
+    return hll_merge_agg
+
+
+def make_hll_sketch_agg(p: int = HLL_P_DEFAULT):
+    """Grouped-agg pandas UDF over raw values (SQL convenience path).
+
+    ``SELECT lang, hll_count(hll_sketch_agg(url)) ... GROUP BY lang``.
+    Shuffles raw rows (Spark grouped-agg UDFs have no partial agg); prefer
+    hll_count_distinct()/hll_partial_sketches() at scale.
+    """
+
+    @pandas_udf(BinaryType())
+    def hll_sketch_agg(values: pd.Series) -> bytes:
+        regs = kernel.empty_registers(p)
+        idx, rho, _ = _batch_idx_rho(values, p)
+        if len(idx):
+            kernel.update_registers(regs, idx, rho)
+        return codec.serialize(regs)
+
+    return hll_sketch_agg
+
+
+# ---------------------------------------------------------------------------
+# Scalar sketch functions
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def hll_count_sketch(blobs: pd.Series) -> pd.Series:
+    """Estimate per sketch blob (pfCount; serves the cached cardinality
+    when the header's dirty bit is clear, hyperloglog.c:1223-1268)."""
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, blob in enumerate(blobs):
+        if blob is None:
+            out[i] = 0
+            continue
+        sk = codec.deserialize(bytes(blob))
+        out[i] = sk.cached_card if sk.cached_card is not None else kernel.estimate(sk.regs)
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def hll_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pure two-sketch merge (hll_merge, php/hll.c:463-585); NULL = empty."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None and y is None:
+            out.append(codec.serialize(kernel.empty_registers()))
+            continue
+        if x is None:
+            out.append(bytes(y))
+            continue
+        if y is None:
+            out.append(bytes(x))
+            continue
+        rx = codec.deserialize(bytes(x)).regs
+        ry = codec.deserialize(bytes(y)).regs
+        out.append(codec.serialize(kernel.merge_registers(rx, ry)))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def hll_promote_sketch(blobs: pd.Series) -> pd.Series:
+    """Force dense encoding; idempotent (hll_promote, php/hll.c:707-731)."""
+    return pd.Series([None if b is None else codec.promote(bytes(b)) for b in blobs])
+
+
+@pandas_udf(StringType())
+def hll_encoding(blobs: pd.Series) -> pd.Series:
+    """'dense' | 'sparse' (hll_info, php/hll.c:734-762)."""
+    return pd.Series([None if b is None else codec.info(bytes(b))["encoding"] for b in blobs])
+
+
+@pandas_udf(LongType())
+def hll_nonzero_registers(blobs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [0 if b is None else codec.info(bytes(b))["nonzero_registers"] for b in blobs],
+        dtype="int64",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators
+# ---------------------------------------------------------------------------
+
+def hll_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = HLL_P_DEFAULT,
+    *,
+    pre_repartition: int | None = None,
+) -> DataFrame:
+    """keys... + merged ``sketch`` per group (partial fold + sketch-only
+    shuffle + max-merge).
+
+    ``pre_repartition=n`` first hash-partitions rows by the group keys so
+    each partition's accumulator dict only holds its own groups — use when
+    group cardinality is high relative to executor memory.
+    """
+    src = df
+    if pre_repartition and keys:
+        src = df.repartition(pre_repartition, *[F.col(k) for k in keys])
+    partials = hll_partial_sketches(src, keys, value_col, p)
+    merge = make_hll_merge_agg(p)
+    if keys:
+        return partials.groupBy(*keys).agg(merge(F.col("sketch")).alias("sketch"))
+    return partials.agg(merge(F.col("sketch")).alias("sketch"))
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = HLL_P_DEFAULT,
+    *,
+    alias: str = "approx_distinct",
+    pre_repartition: int | None = None,
+) -> DataFrame:
+    """APPROX COUNT DISTINCT of ``value_col`` per group — the engine's
+    flagship operator (the distributed pfAdd+pfCount+pfMerge pipeline)."""
+    sk = hll_sketch(df, keys, value_col, p, pre_repartition=pre_repartition)
+    return sk.select(*keys, hll_count_sketch(F.col("sketch")).alias(alias))
+
+
+def hll_global_distinct(df: DataFrame, value_col: str, p: int = HLL_P_DEFAULT) -> int:
+    """One global estimate. Partials tree-merge through a single tiny final
+    task (P x <=12 KB rows); the collect moves one integer to the driver."""
+    row = hll_count_distinct(df, [], value_col, p).collect()[0]
+    return row["approx_distinct"]
+
+
+# ---------------------------------------------------------------------------
+# Element normalization (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def element_str(col: Column | str) -> Column:
+    """Fast native normalization to Spark's string rendering (JVM-side,
+    whole-stage codegen). For exact PHP float rendering use
+    element_php_str (pandas UDF, parity path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
+@pandas_udf(StringType())
+def _php_render_double(values: pd.Series) -> pd.Series:
+    from ..hll import php_string
+
+    return values.map(lambda v: None if v is None or v != v else php_string(float(v)))
+
+
+def element_php_str(col: Column | str, spark_type: str = "string") -> Column:
+    """PHP-coercion-exact normalization (php/hll.c:273-298): bool -> '1'/'',
+    null -> '', double -> %.14G, else string rendering."""
+    c = F.col(col) if isinstance(col, str) else col
+    if spark_type == "boolean":
+        return F.when(c.isNull(), F.lit("")).when(c, F.lit("1")).otherwise(F.lit(""))
+    if spark_type == "double":
+        return F.coalesce(_php_render_double(c.cast("double")), F.lit(""))
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
+def register_sql_functions(spark, p: int = HLL_P_DEFAULT) -> None:
+    """Expose the surface to Spark SQL:
+    hll_sketch_agg / hll_merge_agg (aggregates), hll_count, hll_merge,
+    hll_promote, hll_encoding, hll_nonzero_registers (scalars)."""
+    spark.udf.register("hll_sketch_agg", make_hll_sketch_agg(p))
+    spark.udf.register("hll_merge_agg", make_hll_merge_agg(p))
+    spark.udf.register("hll_count", hll_count_sketch)
+    spark.udf.register("hll_merge", hll_merge_pair)
+    spark.udf.register("hll_promote", hll_promote_sketch)
+    spark.udf.register("hll_encoding", hll_encoding)
+    spark.udf.register("hll_nonzero_registers", hll_nonzero_registers)
