@@ -1,0 +1,206 @@
+"""Similarity primitives: MinHash signatures, SimHash fingerprints, cosine.
+
+Design for scale:
+
+- MinHash/SimHash are computed in ``mapInPandas`` with *batch-level*
+  vectorization: all shingles of all docs in an Arrow batch are hashed in
+  one murmur64a call (reusing the HLL kernel's hash), then per-doc minima /
+  bit-votes are taken with ``np.minimum.reduceat`` / ``np.add.reduceat``
+  over document boundaries — no per-row Python, no per-shingle Python.
+- Cosine: the JVM path uses higher-order functions (zip_with + aggregate)
+  for plan-native scoring; the blocked path (operators/ann.py) broadcasts
+  the query matrix and runs one numpy matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from .. import kernel
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic affine coefficients h_i(x) = (a_i*x + b_i) mod 2^61-1."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _char_shingle_buffers(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All character k-gram shingles of all texts as one (data, offsets)
+    buffer pair + per-doc shingle counts. Shingles are overlapping windows,
+    built by slicing one concatenated byte array — vectorized."""
+    counts = np.array([max(len(t) - k + 1, 0) if len(t) >= k else (1 if t else 0) for t in texts], dtype=np.int64)
+    # short-but-nonempty texts contribute themselves as a single shingle
+    pieces: list[bytes] = []
+    for t in texts:
+        if len(t) >= k:
+            pieces.append(t)
+        elif t:
+            pieces.append(t)
+    total_shingles = int(counts.sum())
+    if total_shingles == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64), counts
+    # build shingle bytes: for each doc, windows t[i:i+k]
+    out = np.empty(total_shingles * k, dtype=np.uint8)
+    offsets = np.arange(total_shingles + 1, dtype=np.int64) * k
+    pos = 0
+    for t in texts:
+        if not t:
+            continue
+        arr = np.frombuffer(t, dtype=np.uint8)
+        if len(t) >= k:
+            n = len(t) - k + 1
+            windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+            out[pos : pos + n * k] = windows.reshape(-1)
+            pos += n * k
+        else:
+            # pad short text to k with zero bytes (still deterministic)
+            w = np.zeros(k, dtype=np.uint8)
+            w[: len(arr)] = arr
+            out[pos : pos + k] = w
+            pos += k
+    return out, offsets, counts
+
+
+def minhash_signatures_batch(
+    texts: list[bytes], num_hashes: int, shingle_k: int, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, num_hashes) int64 MinHash signature matrix for a batch.
+
+    One murmur64a pass over every shingle of every doc, then ``num_hashes``
+    affine transforms each reduced per-doc with np.minimum.reduceat. Empty
+    docs get all-max signatures (match nothing).
+    """
+    data, offsets, counts = _char_shingle_buffers(texts, shingle_k)
+    n = len(texts)
+    sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    if counts.sum() == 0:
+        return sig
+    hashes = kernel.murmur64a(data, offsets)
+    a, b = _minhash_coeffs(num_hashes, seed)
+    doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nonempty = counts > 0
+    ne_starts = doc_starts[nonempty]
+    for i in range(num_hashes):
+        hv = (a[i] * hashes + b[i]) % _MERSENNE61
+        mins = np.minimum.reduceat(hv, ne_starts)
+        sig[nonempty, i] = mins.astype(np.int64)
+    return sig
+
+
+def simhash64_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
+    """64-bit SimHash per doc: sign-vote over the bits of every shingle
+    hash. Vectorized: bit-unpack all shingle hashes to (S, 64) 0/1, then
+    np.add.reduceat per doc and threshold at half the shingle count."""
+    data, offsets, counts = _char_shingle_buffers(texts, shingle_k)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if counts.sum() == 0:
+        return out
+    hashes = kernel.murmur64a(data, offsets)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nonempty = counts > 0
+    votes = np.add.reduceat(bits, doc_starts[nonempty], axis=0)
+    half = (counts[nonempty] / 2.0)[:, None]
+    fp_bits = (votes > half).astype(np.uint64)
+    fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = fp.astype(np.int64)  # two's-complement reinterpret for LongType
+    return out
+
+
+def _texts_from_series(series: pd.Series) -> list[bytes]:
+    return [b"" if v is None else (v.encode("utf-8") if isinstance(v, str) else bytes(v)) for v in series]
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an ``array<long>`` MinHash signature column (mapInPandas,
+    narrow — no shuffle)."""
+    fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sig = minhash_signatures_batch(_texts_from_series(pdf[text_col]), num_hashes, shingle_k, seed)
+            pdf = pdf.copy()
+            pdf[out_col] = list(sig)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def with_simhash(df: DataFrame, text_col: str, *, shingle_k: int = 4, out_col: str = "simhash") -> DataFrame:
+    """Append a 64-bit SimHash fingerprint column (narrow, vectorized)."""
+    fields = list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = simhash64_batch(_texts_from_series(pdf[text_col]), shingle_k)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Cosine similarity — JVM-native expressions (no UDF)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Jaccard of two array columns (native set ops)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(F.array_union(ca, cb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of xor)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb)).cast("int")

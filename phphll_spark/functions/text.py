@@ -1,0 +1,169 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Everything here is built from native ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage codegen) — no Python in the hot path. The only
+Python UDFs in this package are the murmur-based fingerprints, which are
+vectorized numpy over Arrow batches (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    c = F.trim(F.coalesce(_c(col), F.lit("")))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy for doc length budgeting)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation units via a
+    GPT-style pre-tokenizer regex. Native regexp on the JVM."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+)"), F.lit(1)),
+            lambda t: F.trim(t) != "",
+        )
+    ).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(F.coalesce(_c(col), F.lit(""))).cast("long")
+
+
+def avg_word_length(col: Column | str, precision: int = 2) -> Column:
+    """Mean token length, 0.0 for empty docs."""
+    t = tokens(col)
+    n = F.size(t)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n, precision))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword / alpha ratios)
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = (
+    "the of and to in a is that it was for on are with as be at by this have "
+    "from or had not but what all were when we there can an your which their"
+).split()
+
+
+def punct_ratio(col: Column | str, precision: int = 4) -> Column:
+    """punctuation chars / total chars (0.0 for empty)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(p / n, precision))
+
+
+def alpha_ratio(col: Column | str, precision: int = 4) -> Column:
+    c = F.coalesce(_c(col), F.lit(""))
+    n = F.length(c)
+    a = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(a / n, precision))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None, precision: int = 4) -> Column:
+    """fraction of tokens that are (lowercased) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    t = F.transform(tokens(col), F.lower)
+    n = F.size(t)
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n, precision))
+
+
+def quality_score(col: Column | str, precision: int = 4) -> Column:
+    """Composite heuristic quality in [0,1]: rewards mid-length docs, alpha
+    text, sane punctuation, presence of stopwords (fluent prose)."""
+    n = token_count(col)
+    len_score = F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.least(n / F.lit(50.0), F.lit(1.0)) * F.least(F.lit(2000.0) / F.greatest(n.cast("double"), F.lit(1.0)), F.lit(1.0))
+    )
+    score = (
+        0.4 * len_score
+        + 0.3 * alpha_ratio(col, 6)
+        + 0.2 * F.least(stopword_ratio(col, None, 6) * 3, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct_ratio(col, 6) * 5, F.lit(1.0)))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(score, precision))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and is of to in that it with for was are this".split(),
+    "de": "der die das und ist nicht ein eine mit für von zu".split(),
+    "fr": "le la les et est une des dans pour que pas sur".split(),
+    "es": "el la los las es una que por con para del como".split(),
+}
+
+
+def lang_marker_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are marker stopwords of ``lang``."""
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    t = F.transform(tokens(col), F.lower)
+    return F.size(F.filter(t, lambda x: F.array_contains(markers, x))).cast("long")
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """argmax over marker-hit counts; 'und' (undetermined) when no marker
+    matches. Deterministic tie-break by language code order."""
+    hits = {lang: lang_marker_hits(col, lang) for lang in sorted(_LANG_MARKERS)}
+    best = F.greatest(*hits.values())
+    expr = F.lit(default)
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for content-identity: lowercase, collapse whitespace,
+    trim. Deterministic and cheap (JVM regexp)."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"\s+", " "))
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex of normalized text) — the exact
+    dedup key."""
+    return F.md5(normalized_text(col))
+
+
+def char_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of character k-grams of the normalized text (distinct).
+    Native: sequence + transform + substring, no UDF."""
+    c = normalized_text(col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def word_shingles(col: Column | str, k: int = 2) -> Column:
+    """Array of word k-grams (distinct)."""
+    t = F.transform(tokens(col), F.lower)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    )

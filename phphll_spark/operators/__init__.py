@@ -1,0 +1,26 @@
+from .ann import cosine_topk_blocked, cosine_topk_bruteforce, sign_lsh_buckets
+from .dedup import (
+    dedup_exact,
+    dedup_exact_keep,
+    dedup_minhash,
+    embedding_near_dup_pairs,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .multimodal import extract_features, make_fake_media_df
+
+__all__ = [
+    "cosine_topk_blocked",
+    "cosine_topk_bruteforce",
+    "dedup_exact",
+    "dedup_exact_keep",
+    "dedup_minhash",
+    "embedding_near_dup_pairs",
+    "extract_features",
+    "make_fake_media_df",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "sign_lsh_buckets",
+    "simhash_near_dup_pairs",
+]

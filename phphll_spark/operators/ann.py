@@ -1,0 +1,132 @@
+"""Approximate nearest neighbor search over an embedding column.
+
+Two paths:
+
+- ``cosine_topk_bruteforce``: exact top-k by cosine, scored with native
+  higher-order functions (zip_with + aggregate — JVM, codegen) against a
+  broadcast query table. The correctness baseline.
+- ``cosine_topk_blocked``: the scale path. The query matrix is broadcast
+  to executors once; each Arrow batch of corpus vectors is scored with a
+  single numpy matmul (batch x dim @ dim x q), and only each batch's local
+  top-k survive, so the shuffle carries O(partitions * q * k) rows into the
+  final global top-k — never the corpus.
+- ``sign_lsh_buckets``: random-hyperplane LSH bucketing for sublinear
+  candidate generation / embedding-dedup blocking.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from .similarity_util import normalize_rows
+from ..functions.similarity import cosine
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query table,
+    score every (query, corpus) pair plan-natively, window-rank per query.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    scored = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)).crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    query_vectors: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Scale path: numpy matmul per Arrow batch against the broadcast query
+    matrix, local top-k per batch, global top-k at the end.
+
+    ``query_vectors``: {query_id: vector} — small enough to broadcast
+    (closure-captured; at real scale use sc.broadcast explicitly).
+    Output: (query_id, neighbor_id, cosine_sim, rank) — identical contract
+    to the bruteforce path (validated in tests)."""
+    qids = np.array(sorted(query_vectors), dtype=np.int64)
+    Q = normalize_rows(np.array([query_vectors[int(i)] for i in qids], dtype=np.float64))
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine_sim", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = normalize_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = X @ Q.T  # (batch, q)
+            kk = min(k, len(ids))
+            # local top-k per query via argpartition (O(batch) not O(batch log batch))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q)
+            rows_q = np.repeat(qids, kk)
+            rows_n = ids[part.T.reshape(-1)]
+            rows_s = np.take_along_axis(sims, part, axis=0).T.reshape(-1)
+            yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n, "cosine_sim": np.round(rows_s, 6)})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_planes: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bucket id = sign-bit pattern of the
+    vector against ``num_planes`` fixed random hyperplanes. Vectors with
+    high cosine land in the same bucket with prob (1 - theta/pi)^planes.
+
+    Output: (id, bucket). Computed per Arrow batch with one matmul."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    schema = StructType([StructField("id", LongType(), False), StructField("bucket", LongType(), False)])
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (X @ planes) > 0
+            buckets = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": ids, "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)

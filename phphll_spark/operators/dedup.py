@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as declarative DataFrame plans so Catalyst
+gets pushdown/pruning/AQE; fingerprint computation is the only Python and
+is vectorized per Arrow batch (functions/similarity.py).
+
+Scale notes (10^12-doc design):
+- exact: one shuffle on the 128-bit content fingerprint (map-side partial
+  agg via groupBy-min). Skew-free: fingerprints are uniform.
+- minhash-LSH: signatures are computed narrow (no shuffle); banding
+  explodes to b rows/doc and shuffles on (band, band_hash) — bucket sizes
+  are the knob; candidate verification joins only within buckets.
+- simhash: Hamming<=3 via the pigeonhole 4-chunk trick — exact-match
+  blocking on chunks, no quadratic blowup.
+- embedding: cosine blocking via sign-LSH over random hyperplanes, then
+  in-bucket verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.similarity import cosine, hamming64, jaccard, with_minhash, with_simhash
+from ..functions.text import char_shingles, content_fingerprint, normalized_text
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact (normalized-content) dedup: keep the smallest id per
+    fingerprint. One hash-shuffle; partial agg happens map-side."""
+    fp = df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count")
+    )
+    return keepers
+
+
+def dedup_exact_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The surviving rows after exact dedup (all original columns)."""
+    w = Window.partitionBy(content_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: shingle → minhash → band → bucket-join.
+
+    rows_per_band = num_hashes // bands sets the similarity knee at
+    (1/bands)^(1/rows_per_band). Output: (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("minhash"), b * r + 1, r),
+            )
+        ).alias("band", "band_sig"),
+    ).select(id_col, "band", F.hash(F.col("band"), F.col("band_sig")).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs verified by exact shingle-Jaccard >= threshold.
+
+    Output: (id_a, id_b, jaccard_sim). Candidates come from LSH buckets so
+    the verification join touches only colliding pairs, never the cross
+    product."""
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed
+    )
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard("sh_a", "sh_b"), 4).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs (optionally within a blocking
+    key). The non-approximate baseline the LSH path is validated against;
+    quadratic, so at scale always pass ``block_col``."""
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        char_shingles(text_col, shingle_k).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jaccard("a.sh", "b.sh"), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """SimHash near-dups with Hamming distance <= max_hamming (<=3).
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit chunks;
+    any pair within distance 3 agrees exactly on >=1 chunk, so an
+    equi-join per chunk finds all of them with no cross product."""
+    fp = with_simhash(df.select(id_col, text_col), text_col, shingle_k=shingle_k).select(id_col, "simhash")
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[(F.shiftrightunsigned(F.col("simhash"), s) % F.lit(65536)).cast("int") for s in (0, 16, 32, 48)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dups: pairs with cosine >= threshold.
+
+    Plan-native scoring (zip_with/aggregate). Without ``block_col`` this is
+    the exact quadratic baseline; at scale block first (e.g. sign-LSH
+    bucket from operators/ann.py) and verify within blocks."""
+    v = df.select(F.col(id_col), *([F.col(block_col)] if block_col else []), F.col(vec_col))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,218 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/ngram/
+embedding), ANN, text analysis, multimodal plumbing — on the driver
+testdata tables plus synthetic near-dup fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phphll_spark.functions import text as T
+from phphll_spark.functions.similarity import (
+    jaccard,
+    minhash_signatures_batch,
+    simhash64_batch,
+    with_minhash,
+    with_simhash,
+)
+from phphll_spark.operators import (
+    cosine_topk_blocked,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    dedup_exact_keep,
+    dedup_minhash,
+    embedding_near_dup_pairs,
+    extract_features,
+    make_fake_media_df,
+    ngram_jaccard_pairs,
+    sign_lsh_buckets,
+    simhash_near_dup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Docs with controlled near-duplicates: pairs (2i, 2i+1) share a long
+    prefix; unrelated docs share almost nothing."""
+    rng = np.random.default_rng(99)
+    base = [
+        " ".join("".join(rng.choice(list("abcdefghijklmnop"), 8)) for _ in range(60))
+        for _ in range(20)
+    ]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((2 * i, b))
+        rows.append((2 * i + 1, b + " tailchange"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_native(spark, docs):
+    got = docs.select("doc_id", T.token_count("text").alias("n")).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        want = len(texts[r["doc_id"]].split())
+        assert r["n"] == want
+    # edge: empty / whitespace-only / null
+    edge = spark.createDataFrame([("",), ("   ",), (None,)], "text string")
+    vals = [r["n"] for r in edge.select(T.token_count("text").alias("n")).collect()]
+    assert vals == [0, 0, 0]
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat, happily.",), ("!!! ??? ...",), ("",)], "text string"
+    )
+    rows = df.select(
+        T.punct_ratio("text").alias("p"),
+        T.alpha_ratio("text").alias("a"),
+        T.stopword_ratio("text").alias("s"),
+        T.quality_score("text").alias("q"),
+    ).collect()
+    assert 0 < rows[0]["p"] < 0.2 and rows[0]["a"] > 0.6 and rows[0]["s"] > 0.2
+    assert rows[1]["a"] == 0.0 and rows[1]["q"] < rows[0]["q"]
+    assert rows[2]["q"] == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox is one of the best and it was fine",),
+            ("der hund ist nicht eine katze und das ist gut",),
+            ("le chat est dans la maison et les oiseaux sont pour toi",),
+            ("el perro es una mascota que vive con los gatos",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r["l"] for r in df.select(T.lang_id("text").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different"), (4, "HELLO WORLD ")],
+        "doc_id long, text string",
+    )
+    keep = dedup_exact(df, "doc_id", "text").collect()
+    by_keeper = {r["keeper_id"]: r["dup_count"] for r in keep}
+    assert by_keeper == {1: 3, 3: 1}  # 1,2,4 normalize identically
+    survivors = sorted(r["doc_id"] for r in dedup_exact_keep(df, "doc_id", "text").collect())
+    assert survivors == [1, 3]
+
+
+def test_minhash_accuracy_vs_jaccard():
+    """MinHash signature agreement ≈ true Jaccard (the estimator property)."""
+    a = (" ".join(f"w{i}" for i in range(100))).encode()
+    b = (" ".join(f"w{i}" for i in range(80)) + " " + " ".join(f"x{i}" for i in range(20))).encode()
+    sig = minhash_signatures_batch([a, b], num_hashes=256, shingle_k=5)
+    agree = float((sig[0] == sig[1]).mean())
+
+    def shingles(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    sa, sb = shingles(a), shingles(b)
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(agree - true_j) < 0.12  # ~1/sqrt(256)=0.0625, 2σ
+
+
+def test_dedup_minhash_finds_planted_pairs(spark, neardup_docs):
+    pairs = dedup_minhash(neardup_docs, "doc_id", "text", threshold=0.7, num_hashes=64, bands=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert want <= got  # all planted near-dups found
+    assert all(b - a == 1 and a % 2 == 0 for a, b in got)  # no false positives
+    for r in pairs:
+        assert r["jaccard_sim"] >= 0.7
+
+
+def test_ngram_jaccard_exact_baseline(spark, neardup_docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(neardup_docs, "doc_id", "text", shingle_k=5, threshold=0.7).collect()
+    }
+    assert got == {(2 * i, 2 * i + 1) for i in range(20)}
+
+
+def test_simhash_near_dups(spark, neardup_docs):
+    pairs = simhash_near_dup_pairs(neardup_docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert len(got & planted) >= 12  # simhash is lossier; most planted pairs found
+    assert not (got - planted)
+
+
+def test_simhash_deterministic_and_partition_invariant(spark, neardup_docs):
+    a = {r["doc_id"]: r["simhash"] for r in with_simhash(neardup_docs, "text").collect()}
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in with_simhash(neardup_docs.repartition(7), "text").collect()
+    }
+    assert a == b
+
+
+def test_embedding_near_dups_and_lsh(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, base[i].tolist()))
+        rows.append((2 * i + 1, (base[i] + rng.standard_normal(16) * 0.05).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.98).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert len(got & planted) >= 28
+    # sign-LSH: planted pairs mostly share buckets
+    buckets = {r["id"]: r["bucket"] for r in sign_lsh_buckets(df, "vec_id", "embedding", num_planes=8).collect()}
+    same = sum(1 for i in range(30) if buckets[2 * i] == buckets[2 * i + 1])
+    assert same >= 20
+
+
+def test_cosine_topk_bruteforce_vs_blocked(spark, emb):
+    """The blocked (scale) path must return exactly the bruteforce top-k."""
+    queries = emb.limit(3)
+    brute = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in queries.collect()}
+    blocked = cosine_topk_blocked(emb.repartition(4), qvecs, "vec_id", "embedding", k=5)
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    c = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in blocked.collect()}
+    assert b == c
+    # self is always rank-1 with sim 1.0
+    for r in brute.collect():
+        if r["rank"] == 1:
+            assert r["neighbor_id"] == r["query_id"]
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media_df(spark, n=48)
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic across partitionings
+    again = {r["media_id"]: r["feature"] for r in extract_features(media.repartition(5), dim=8, fake=True).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+    # real decoder is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        extract_features(media, dim=8, fake=False).collect()
+
+
+def test_shingles_and_jaccard_native(spark):
+    df = spark.createDataFrame([("abcde", "abcdx")], "a string, b string")
+    row = df.select(
+        T.char_shingles("a", 3).alias("sa"), T.char_shingles("b", 3).alias("sb")
+    ).select(jaccard("sa", "sb").alias("j")).collect()[0]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → J = 2/4
+    assert abs(row["j"] - 0.5) < 1e-9
