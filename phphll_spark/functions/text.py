@@ -155,15 +155,20 @@ def char_shingles(col: Column | str, k: int = 3) -> Column:
     Native: sequence + transform + substring, no UDF."""
     c = normalized_text(col)
     n = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+    # NB: Spark's sequence(1, 0) would count *down* — guard short texts
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: c.substr(i, F.lit(k)))
+        )
+    )
 
 
 def word_shingles(col: Column | str, k: int = 2) -> Column:
     """Array of word k-grams (distinct)."""
     t = F.transform(tokens(col), F.lower)
     n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), n - k), lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+        )
     )
