@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pages_docs_per_sec": N, "pages_rows": N}
+
+The pages ingest measure is the flagship pipeline of SURVEY.md §3.3
+(scan → hash → per-partition registers → merge → estimate) over a
+generated Common-Crawl-style table cached under .bench_cache/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "2000000"))
+
+HEADLINE = [
+    "hll_global_parts_bound",
+    "hll_users_per_event_type_bound",
+    "hll_users_per_day_bound",
+    "hll_merge_assoc_per_lang",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "fingerprint_docs",
+    "token_stats_per_lang",
+    "topk_cosine_neighbors",
+    "simhash_docs",
+    "pricing_summary",
+    "daily_active_users",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from phphll_spark.functions import hll_global_distinct
+    from phphll_spark.sources.pages import generate_pages_parquet
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("phphll_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + the 32 Python/Arrow workers once so timings measure
+    # steady-state throughput, not one-time process startup
+    spark.range(0, CPUS * 4, numPartitions=CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # materialize
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # flagship ingest throughput: distinct urls over the pages table
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"pages_{PAGES_ROWS}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        generate_pages_parquet(spark, cache, PAGES_ROWS, n_files=max(CPUS, 16))
+    pages = spark.read.parquet(cache)
+    t0 = time.time()
+    est = hll_global_distinct(pages, "url")
+    ingest_s = time.time() - t0
+    timings["pages_ingest_distinct_urls"] = round(ingest_s, 3)
+    docs_per_sec = int(PAGES_ROWS / ingest_s)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + pages ingest (approx distinct) wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "pages_rows": PAGES_ROWS,
+                "pages_docs_per_sec": docs_per_sec,
+                "pages_estimate": est,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

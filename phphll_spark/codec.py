@@ -82,15 +82,21 @@ def encode_sparse(regs: np.ndarray) -> bytes | None:
     """
     if regs.size and int(regs.max()) > SPARSE_VAL_MAX_VALUE:
         return None
-    # cheap lower bound: every VAL opcode covers <= 4 registers, so the
-    # encoding needs >= nnz/4 bytes — skip the run scan when it can't win
-    nnz = int(np.count_nonzero(regs))
-    if nnz // 4 > SPARSE_MAX_BYTES:
-        return None
     # run boundaries
     change = np.flatnonzero(np.diff(regs.astype(np.int16)) != 0)
     starts = np.concatenate(([0], change + 1))
     ends = np.concatenate((change + 1, [regs.size]))
+    # exact encoded size, vectorized — dense-bound sketches skip the opcode
+    # loop entirely (this runs once per group per partition in the hot agg)
+    runlens = ends - starts
+    is_zero = regs[starts] == 0
+    zl = runlens[is_zero]
+    nchunks = np.where(zl > SPARSE_ZERO_MAX_LEN, -(-(zl - SPARSE_ZERO_MAX_LEN) // SPARSE_XZERO_MAX_LEN), 0)
+    zero_bytes = 2 * nchunks + ((zl - nchunks * SPARSE_XZERO_MAX_LEN) > 0)
+    val_bytes = -(-runlens[~is_zero] // SPARSE_VAL_MAX_LEN)
+    total_bytes = int(zero_bytes.sum()) + int(val_bytes.sum())
+    if total_bytes > SPARSE_MAX_BYTES:
+        return None
     out = bytearray()
     for s, e in zip(starts.tolist(), ends.tolist()):
         val = int(regs[s])

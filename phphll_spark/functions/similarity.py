@@ -35,41 +35,29 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
-def _char_shingle_buffers(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All character k-gram shingles of all texts as one (data, offsets)
-    buffer pair + per-doc shingle counts. Shingles are overlapping windows,
-    built by slicing one concatenated byte array — vectorized."""
-    counts = np.array([max(len(t) - k + 1, 0) if len(t) >= k else (1 if t else 0) for t in texts], dtype=np.int64)
-    # short-but-nonempty texts contribute themselves as a single shingle
-    pieces: list[bytes] = []
-    for t in texts:
-        if len(t) >= k:
-            pieces.append(t)
-        elif t:
-            pieces.append(t)
-    total_shingles = int(counts.sum())
-    if total_shingles == 0:
-        return np.empty(0, np.uint8), np.zeros(1, np.int64), counts
-    # build shingle bytes: for each doc, windows t[i:i+k]
-    out = np.empty(total_shingles * k, dtype=np.uint8)
-    offsets = np.arange(total_shingles + 1, dtype=np.int64) * k
-    pos = 0
-    for t in texts:
-        if not t:
-            continue
-        arr = np.frombuffer(t, dtype=np.uint8)
-        if len(t) >= k:
-            n = len(t) - k + 1
-            windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-            out[pos : pos + n * k] = windows.reshape(-1)
-            pos += n * k
-        else:
-            # pad short text to k with zero bytes (still deterministic)
-            w = np.zeros(k, dtype=np.uint8)
-            w[: len(arr)] = arr
-            out[pos : pos + k] = w
-            pos += k
-    return out, offsets, counts
+def _char_shingle_windows(
+    texts: list[bytes], k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All character k-gram shingles of all texts as *overlapping windows*
+    over one concatenated buffer — zero materialization: returns
+    (buf, window_starts, window_lens, shingles_per_doc).
+
+    Shorter-than-k nonempty texts contribute themselves as one shingle.
+    Hash with kernel.murmur64a_windows (gather-based, no copy)."""
+    doc_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8) if texts else np.empty(0, np.uint8)
+    doc_off = np.zeros(len(texts), dtype=np.int64)
+    if len(texts):
+        np.cumsum(doc_lens[:-1], out=doc_off[1:])
+    counts = np.where(doc_lens >= k, doc_lens - k + 1, (doc_lens > 0).astype(np.int64))
+    total = int(counts.sum())
+    if total == 0:
+        return buf, np.empty(0, np.int64), np.empty(0, np.int64), counts
+    rep_off = np.repeat(doc_off, counts)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    starts = rep_off + intra
+    wlens = np.repeat(np.minimum(doc_lens, k), counts)
+    return buf, starts, wlens, counts
 
 
 def minhash_signatures_batch(
@@ -81,12 +69,12 @@ def minhash_signatures_batch(
     affine transforms each reduced per-doc with np.minimum.reduceat. Empty
     docs get all-max signatures (match nothing).
     """
-    data, offsets, counts = _char_shingle_buffers(texts, shingle_k)
+    buf, starts, wlens, counts = _char_shingle_windows(texts, shingle_k)
     n = len(texts)
     sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
     if counts.sum() == 0:
         return sig
-    hashes = kernel.murmur64a(data, offsets)
+    hashes = kernel.murmur64a_windows(buf, starts, wlens)
     a, b = _minhash_coeffs(num_hashes, seed)
     doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
     nonempty = counts > 0
@@ -100,21 +88,22 @@ def minhash_signatures_batch(
 
 def simhash64_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
     """64-bit SimHash per doc: sign-vote over the bits of every shingle
-    hash. Vectorized: bit-unpack all shingle hashes to (S, 64) 0/1, then
-    np.add.reduceat per doc and threshold at half the shingle count."""
-    data, offsets, counts = _char_shingle_buffers(texts, shingle_k)
+    hash. Vectorized bit-plane-at-a-time: one int32 reduceat per bit keeps
+    peak memory at O(#shingles), not O(#shingles * 64)."""
+    buf, starts, wlens, counts = _char_shingle_windows(texts, shingle_k)
     n = len(texts)
     out = np.zeros(n, dtype=np.int64)
     if counts.sum() == 0:
         return out
-    hashes = kernel.murmur64a(data, offsets)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    doc_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    hashes = kernel.murmur64a_windows(buf, starts, wlens)
     nonempty = counts > 0
-    votes = np.add.reduceat(bits, doc_starts[nonempty], axis=0)
-    half = (counts[nonempty] / 2.0)[:, None]
-    fp_bits = (votes > half).astype(np.uint64)
-    fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    doc_starts = (np.cumsum(counts) - counts)[nonempty]
+    half = counts[nonempty].astype(np.float64) / 2.0
+    fp = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for b in range(64):
+        plane = ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
+        votes = np.add.reduceat(plane, doc_starts)
+        fp |= (votes > half).astype(np.uint64) << np.uint64(b)
     out[nonempty] = fp.astype(np.int64)  # two's-complement reinterpret for LongType
     return out
 

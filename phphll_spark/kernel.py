@@ -50,67 +50,69 @@ def empty_registers(p: int = HLL_P_DEFAULT) -> np.ndarray:
     return np.zeros(m_for_p(p), dtype=np.uint8)
 
 
-def _as_padded_words(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Scatter N variable-length byte strings into an (N, max_words) uint64
-    little-endian word matrix plus per-string byte lengths.
+def murmur64a_windows(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int = MURMUR_SEED
+) -> np.ndarray:
+    """Vectorized MurmurHash64A over N byte windows of one shared buffer.
 
-    ``data`` is the concatenated uint8 payload, ``offsets`` the N+1 int64
-    offsets (Arrow layout). Fully vectorized: one scatter, one view.
+    Windows may overlap (zero-copy shingling) and have arbitrary lengths.
+    Implementation: an unaligned little-endian uint64 *view* of the buffer
+    (stride 1 byte) turns each 8-byte chunk load into a single gather —
+    exactly the reference's ``k = *((uint64_t*)data)`` on LE hosts
+    (hyperloglog.c:398), with no padding/scatter step. Bit-exact vs the
+    reference C implementation (verified in tests/test_kernel.py).
     """
-    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    n = len(lens)
-    maxlen = int(lens.max()) if n else 0
-    width = ((maxlen + 7) // 8) * 8 if maxlen else 8
-    padded = np.zeros((n, width), dtype=np.uint8)
-    if data.size:
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        cols = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), lens)
-        padded[rows, cols] = data
-    words = padded.view("<u8")  # (n, width//8) little-endian, matches the
-    # reference's direct uint64 load on LE hosts (hyperloglog.c:398-409)
-    return words, lens, padded
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # pad by 8 zero bytes so u64/tail gathers never read out of bounds
+    padded = np.empty(len(buf) + 8, dtype=np.uint8)
+    padded[: len(buf)] = buf
+    padded[len(buf):] = 0
+    u64 = np.ndarray(shape=(len(padded) - 7,), dtype="<u8", buffer=padded.data, strides=(1,))
+    safe_max = np.int64(len(padded) - 8)
 
-
-def murmur64a(data: np.ndarray, offsets: np.ndarray, seed: int = MURMUR_SEED) -> np.ndarray:
-    """Vectorized MurmurHash64A over N byte strings (Arrow buffer layout).
-
-    Bit-exact vs the reference C implementation (hyperloglog.c:387-433):
-    verified against reference test vectors in tests/test_kernel.py.
-    """
-    words, lens, padded = _as_padded_words(data, offsets)
-    n = len(lens)
+    starts = starts.astype(np.int64, copy=False)
+    lens = lens.astype(np.int64, copy=False)
     ulens = lens.astype(np.uint64)
     h = np.uint64(seed) ^ (ulens * _M64)
 
-    full_chunks = lens >> 3  # number of whole 8-byte words per string
-    max_chunks = int(full_chunks.max()) if n else 0
+    full_chunks = lens >> 3  # number of whole 8-byte words per window
+    max_chunks = int(full_chunks.max())
     for c in range(max_chunks):
         active = full_chunks > c
-        k = words[:, c].copy()
-        k *= _M64
+        pos = np.minimum(starts + 8 * c, safe_max)
+        k = u64[pos]
+        k = k * _M64
         k ^= k >> _R47
         k *= _M64
         hk = (h ^ k) * _M64
         h = np.where(active, hk, h)
 
-    tail = (lens & 7).astype(np.int64)
-    if n and tail.any():
-        base = (full_chunks << 3).astype(np.int64)
-        rows = np.arange(n, dtype=np.int64)
+    tail = lens & 7
+    if tail.any():
+        base = np.minimum(starts + (full_chunks << 3), safe_max)
         t = h.copy()
         # switch fallthrough: h ^= data[base+j] << (8*j) for j < tail
         for j in range(6, -1, -1):
             sel = tail > j
             if sel.any():
-                byte = padded[rows[sel], base[sel] + j].astype(np.uint64)
-                t[sel] ^= byte << np.uint64(8 * j)
-        t = np.where(tail > 0, t * _M64, t)
-        h = t
+                byte = padded[base + j].astype(np.uint64) << np.uint64(8 * j)
+                t = np.where(sel, t ^ byte, t)
+        h = np.where(tail > 0, t * _M64, t)
 
     h ^= h >> _R47
     h *= _M64
     h ^= h >> _R47
     return h
+
+
+def murmur64a(data: np.ndarray, offsets: np.ndarray, seed: int = MURMUR_SEED) -> np.ndarray:
+    """Vectorized MurmurHash64A over N byte strings (Arrow buffer layout:
+    concatenated uint8 payload + N+1 offsets)."""
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    return murmur64a_windows(data, starts, lens, seed)
 
 
 def hash_idx_rho(hashes: np.ndarray, p: int = HLL_P_DEFAULT) -> tuple[np.ndarray, np.ndarray]:

@@ -61,7 +61,8 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+    src = _with_min_parallelism(df.select(id_col, text_col))
+    sigs = with_minhash(src, text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -71,6 +72,8 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "band_sig"),
     ).select(id_col, "band", F.hash(F.col("band"), F.col("band_sig")).alias("bucket"))
+    # self-join reads it twice — persist so signatures are computed once
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -83,6 +86,15 @@ def minhash_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Single-file parquet inputs arrive as one partition; spread narrow
+    per-row compute (shingling, signatures) across the cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dedup_minhash(
@@ -103,8 +115,16 @@ def dedup_minhash(
     product."""
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed
+    ).persist()
+    # shingle ONLY the docs that appear in candidate pairs — at scale the
+    # candidate set is orders of magnitude smaller than the corpus
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    src = _with_min_parallelism(df.select(id_col, text_col)).join(cand_ids, id_col, "left_semi")
+    sh = src.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

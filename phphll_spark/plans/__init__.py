@@ -1,0 +1,3 @@
+from .pipeline import PipelineResult, lineage_table, run_sketch_pipeline
+
+__all__ = ["PipelineResult", "lineage_table", "run_sketch_pipeline"]

@@ -1,0 +1,7 @@
+from .stream import (
+    foreach_batch_sketch_sink,
+    read_sketch_table,
+    stateful_sketch_counts,
+)
+
+__all__ = ["foreach_batch_sketch_sink", "read_sketch_table", "stateful_sketch_counts"]

@@ -1,0 +1,123 @@
+"""Structured Streaming sketch aggregation.
+
+Because the sketch merge is associative/commutative/idempotent
+(hyperloglog.c:1038-1077), streaming HLL is just "merge each micro-batch's
+partials into durable state". Two shapes:
+
+- ``foreach_batch_sketch_sink``: per micro-batch, compute partial sketches
+  (same map-side fold as batch) and max-merge them into a parquet
+  checkpoint table via read-modify-write with an atomic manifest swap —
+  the streaming analog of the reference's Redis round-trip
+  (junk/redis-interop.php: load sketch, add, write back). Exactly-once
+  per epoch_id is achievable because re-merging a batch is idempotent.
+- ``stateful_sketch_counts``: ``applyInPandasWithState`` keeps the raw
+  register array as per-group state and emits (key, estimate,
+  rows_seen) every trigger — continuous APPROX COUNT DISTINCT.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import codec, kernel
+from ..functions.sketch import _batch_idx_rho, hll_partial_sketches, make_hll_merge_agg
+from ..kernel import HLL_P_DEFAULT
+
+
+def foreach_batch_sketch_sink(
+    keys: list[str],
+    value_col: str,
+    table_dir: str,
+    p: int = HLL_P_DEFAULT,
+):
+    """Returns a foreachBatch function: merges each micro-batch's group
+    sketches into ``table_dir`` (parquet snapshot: data file + _CURRENT
+    pointer swapped atomically)."""
+    os.makedirs(table_dir, exist_ok=True)
+    merge = make_hll_merge_agg(p)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = hll_partial_sketches(batch_df, keys, value_col, p)
+        pointer = os.path.join(table_dir, "_CURRENT")
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                current = f.read().strip()
+            old = spark.read.parquet(os.path.join(table_dir, current))
+            new = new.unionByName(old)
+        merged = new.groupBy(*keys).agg(merge(F.col("sketch")).alias("sketch")) if keys else new.agg(
+            merge(F.col("sketch")).alias("sketch")
+        )
+        snap = f"snap-{epoch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(table_dir, snap))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap)
+        os.replace(tmp, pointer)
+
+    return sink
+
+
+def read_sketch_table(spark, table_dir: str) -> DataFrame:
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        current = f.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, current))
+
+
+def stateful_sketch_counts(
+    stream_df: DataFrame,
+    key: str,
+    value_col: str,
+    p: int = HLL_P_DEFAULT,
+) -> DataFrame:
+    """Continuous per-key APPROX COUNT DISTINCT via applyInPandasWithState.
+
+    State = the raw register array (the reference's HLL_RAW accumulator,
+    hyperloglog.c:197) as bytes; update folds each Arrow batch vectorized.
+    Emits (key, approx_distinct, rows_seen) on every trigger.
+    """
+    m = kernel.m_for_p(p)
+    out_schema = StructType(
+        [
+            StructField(key, StringType(), False),
+            StructField("approx_distinct", LongType(), False),
+            StructField("rows_seen", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("regs", BinaryType(), True), StructField("rows", LongType(), True)]
+    )
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            regs_bytes, rows = state.get
+            regs = np.frombuffer(regs_bytes, dtype=np.uint8).copy()
+        else:
+            regs, rows = kernel.empty_registers(p), 0
+        for pdf in pdfs:
+            idx, rho, _ = _batch_idx_rho(pdf[value_col], p)
+            if len(idx):
+                kernel.update_registers(regs, idx, rho)
+            rows += len(pdf)
+        state.update((regs.tobytes(), rows))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "approx_distinct": [kernel.estimate(regs)], "rows_seen": [rows]}
+        )
+
+    return stream_df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,86 @@
+"""Structured Streaming sketch aggregation: micro-batch merge into a
+snapshot table, and stateful continuous estimates."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphll_spark.functions import hll_count_sketch
+from phphll_spark.hll import HLL
+from phphll_spark.streaming import (
+    foreach_batch_sketch_sink,
+    read_sketch_table,
+    stateful_sketch_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Two file 'micro-batches' of events landing in a watched directory."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("en", f"u{i}") for i in range(100)], "lang string, url string"
+    )
+    b2 = spark.createDataFrame(
+        [("en", f"u{i}") for i in range(50, 200)] + [("de", f"d{i}") for i in range(40)],
+        "lang string, url string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+    return str(src)
+
+
+def test_foreach_batch_sketch_sink(spark, stream_dir, tmp_path):
+    table = str(tmp_path / "sketch_table")
+    stream = (
+        spark.readStream.schema("lang string, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stream_dir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_sketch_sink(["lang"], "url", table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["lang"]: r["n"]
+        for r in read_sketch_table(spark, table)
+        .select("lang", hll_count_sketch(F.col("sketch")).alias("n"))
+        .collect()
+    }
+    en = HLL(); en.add([f"u{i}" for i in range(200)])
+    de = HLL(); de.add([f"d{i}" for i in range(40)])
+    assert got == {"en": en.count(), "de": de.count()}
+
+
+def test_stateful_sketch_counts(spark, stream_dir, tmp_path):
+    stream = (
+        spark.readStream.schema("lang string, url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stream_dir}/*")
+    )
+    out = stateful_sketch_counts(stream, "lang", "url")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_counts").collect()
+    # final update per key reflects the union of all micro-batches
+    latest = {}
+    for r in rows:
+        latest[r["lang"]] = max(latest.get(r["lang"], 0), r["approx_distinct"])
+    en = HLL(); en.add([f"u{i}" for i in range(200)])
+    de = HLL(); de.add([f"d{i}" for i in range(40)])
+    assert latest == {"en": en.count(), "de": de.count()}
+    total_rows = {r["lang"]: r["rows_seen"] for r in rows if r["rows_seen"]}
+    assert total_rows["en"] == 250  # 100 + 150 raw rows folded into state
