@@ -210,6 +210,55 @@ def q_topk_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Other mergeable sketches on the same agg skeleton (north-rule scope)
+# ---------------------------------------------------------------------------
+
+def q_cms_user_event_counts_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates: per-user event counts from one global
+    CMS vs exact counts; CMS guarantees est ∈ [exact, exact + ε·N]."""
+    from phphll_spark.sketches import cms_point_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("uid"))
+    n_total = ev.count()
+    width = 16384
+    slack = math.ceil(math.e / width * n_total)
+    sk = cms_sketch(ev, [], "uid", depth=4, width=width)
+    probes = (
+        ev.groupBy("uid").count().withColumnRenamed("count", "exact_count")
+        .filter(F.col("uid").cast("long") < 10)
+    )
+    est = probes.crossJoin(F.broadcast(sk)).select(
+        F.col("uid").cast("long").alias("user_id"),
+        "exact_count",
+        cms_point_estimate(F.col("cms"), F.col("uid")).alias("est"),
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        ((F.col("est") >= F.col("exact_count")) & (F.col("est") <= F.col("exact_count") + slack)).alias(
+            "within_bound"
+        ),
+    )
+
+
+def q_bloom_membership_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter per segment over custkeys; every true member must test
+    present (no false negatives) — export per-segment found-count."""
+    from phphll_spark.sketches import bloom_might_contain, bloom_sketch
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_custkey").cast("string").alias("ck")
+    )
+    blooms = bloom_sketch(cust, ["c_mktsegment"], "ck", m_bits=65536, k=7)
+    joined = cust.join(F.broadcast(blooms), "c_mktsegment")
+    return (
+        joined.select("c_mktsegment", bloom_might_contain(F.col("bloom"), F.col("ck")).alias("hit"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_members_found"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational coverage (scan/filter/join/agg/window — Spark built-ins)
 # ---------------------------------------------------------------------------
 
@@ -305,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_global_parts_bound": q_hll_global_parts_bound,
         "hll_roundtrip_per_lang": q_hll_roundtrip_per_lang,
         "hll_merge_assoc_per_lang": q_hll_merge_assoc_per_lang,
+        "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
+        "bloom_membership_per_segment": q_bloom_membership_per_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -362,6 +413,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_merge_assoc_per_lang": """
             SELECT DISTINCT lang, TRUE AS assoc_ok FROM documents
+        """,
+        "cms_user_event_counts_bound": """
+            SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
+            FROM events WHERE user_id < 10 GROUP BY user_id
+        """,
+        "bloom_membership_per_segment": """
+            SELECT c_mktsegment, COUNT(*) AS n_members_found
+            FROM customer GROUP BY c_mktsegment
         """,
         "dedup_exact_docs": f"""
             SELECT md5({norm}) AS fingerprint,

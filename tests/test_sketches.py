@@ -1,0 +1,175 @@
+"""Count-Min and Bloom sketches: kernel properties, merge laws, distributed
+== serial, codec validation (same test strategy as the HLL family)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phphll_spark import kernel
+from phphll_spark.sketches import bloom_sketch, cms_sketch
+from phphll_spark.sketches.bloom import (
+    InvalidBloomError,
+    bloom_contains,
+    bloom_deserialize,
+    bloom_merge,
+    bloom_might_contain,
+    bloom_serialize,
+    bloom_update,
+    empty_bloom,
+    optimal_params,
+)
+from phphll_spark.sketches.cms import (
+    InvalidCMSError,
+    cms_deserialize,
+    cms_merge,
+    cms_point_estimate,
+    cms_query,
+    cms_serialize,
+    cms_update,
+    empty_cms,
+)
+
+
+def _bufs(items):
+    return kernel.bytes_to_buffers([i.encode() if isinstance(i, str) else i for i in items])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_never_under():
+    cms = empty_cms(4, 512)
+    items = [f"k{i % 50}" for i in range(5000)]
+    data, offsets = _bufs(items)
+    cms_update(cms, data, offsets)
+    qd, qo = _bufs([f"k{i}" for i in range(50)])
+    est = cms_query(cms, qd, qo)
+    assert (est >= 100).all()  # every key occurs exactly 100 times
+    # epsilon bound: est <= true + e/w * N with high probability
+    assert (est <= 100 + int(np.e / 512 * 5000) + 100).all()
+
+
+def test_cms_exact_when_wide():
+    cms = empty_cms(4, 1 << 16)
+    data, offsets = _bufs([f"k{i % 20}" for i in range(2000)])
+    cms_update(cms, data, offsets)
+    qd, qo = _bufs([f"k{i}" for i in range(20)])
+    assert (cms_query(cms, qd, qo) == 100).all()
+    qd, qo = _bufs(["absent"])
+    assert int(cms_query(cms, qd, qo)[0]) == 0
+
+
+def test_cms_merge_equals_single_stream():
+    items = [f"x{i % 97}" for i in range(3000)]
+    whole = empty_cms()
+    d, o = _bufs(items)
+    cms_update(whole, d, o)
+    acc = empty_cms()
+    for part in range(5):
+        c = empty_cms()
+        d, o = _bufs(items[part::5])
+        cms_update(c, d, o)
+        acc = cms_merge(acc, c)
+    assert (acc == whole).all()
+
+
+def test_cms_codec_roundtrip_and_validation():
+    cms = empty_cms(4, 256)
+    d, o = _bufs(["a", "b", "a"])
+    cms_update(cms, d, o)
+    blob = cms_serialize(cms)
+    assert (cms_deserialize(blob) == cms).all()
+    with pytest.raises(InvalidCMSError):
+        cms_deserialize(b"XXXX" + blob[4:])
+    with pytest.raises(InvalidCMSError):
+        cms_deserialize(blob[:-8])
+    with pytest.raises(InvalidCMSError):
+        cms_merge(empty_cms(4, 256), empty_cms(4, 512))
+
+
+def test_cms_distributed_matches_serial(spark):
+    rows = [(f"t{i % 3}", f"u{i % 40}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = {r["grp"]: r["cms"] for r in cms_sketch(df, ["grp"], "item", depth=4, width=4096).collect()}
+    for grp in ("t0", "t1", "t2"):
+        serial = empty_cms(4, 4096)
+        d, o = _bufs([it for g, it in rows if g == grp])
+        cms_update(serial, d, o)
+        assert (cms_deserialize(bytes(sk[grp])) == serial).all(), grp
+    # scalar point-estimate UDF
+    one = spark.createDataFrame([(bytes(sk["t0"]), "u0")], "cms binary, item string")
+    est = one.select(cms_point_estimate("cms", "item").alias("e")).collect()[0]["e"]
+    true = sum(1 for g, it in rows if g == "t0" and it == "u0")
+    assert est >= true and est <= true + 5
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_bounded_false_positives():
+    m, k = optimal_params(1000, 0.01)
+    words = empty_bloom(m)
+    d, o = _bufs([f"member{i}" for i in range(1000)])
+    bloom_update(words, d, o, k)
+    assert bloom_contains(words, d, o, k).all()  # no false negatives, ever
+    qd, qo = _bufs([f"nonmember{i}" for i in range(10000)])
+    fp = bloom_contains(words, qd, qo, k).mean()
+    assert fp < 0.03  # target 1%, generous margin
+
+
+def test_bloom_merge_laws():
+    m, k = 4096, 5
+    a, b = empty_bloom(m), empty_bloom(m)
+    da, oa = _bufs([f"a{i}" for i in range(100)])
+    db, ob = _bufs([f"b{i}" for i in range(100)])
+    bloom_update(a, da, oa, k)
+    bloom_update(b, db, ob, k)
+    ab, ba = bloom_merge(a, b), bloom_merge(b, a)
+    assert (ab == ba).all()
+    assert (bloom_merge(a, a) == a).all()  # idempotent
+    assert bloom_contains(ab, da, oa, k).all() and bloom_contains(ab, db, ob, k).all()
+    with pytest.raises(InvalidBloomError):
+        bloom_merge(empty_bloom(64), empty_bloom(128))
+
+
+def test_bloom_codec_roundtrip_and_validation():
+    words = empty_bloom(1024)
+    d, o = _bufs(["x", "y"])
+    bloom_update(words, d, o, 7)
+    blob = bloom_serialize(words, 7)
+    back, k = bloom_deserialize(blob)
+    assert k == 7 and (back == words).all()
+    with pytest.raises(InvalidBloomError):
+        bloom_deserialize(blob[:-1])
+    with pytest.raises(InvalidBloomError):
+        bloom_deserialize(b"NOPE" + blob[4:])
+
+
+def test_bloom_distributed_matches_serial(spark):
+    rows = [(f"s{i % 2}", f"v{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = {r["grp"]: r["bloom"] for r in bloom_sketch(df, ["grp"], "item", m_bits=16384, k=7).collect()}
+    for grp in ("s0", "s1"):
+        serial = empty_bloom(16384)
+        d, o = _bufs([it for g, it in rows if g == grp])
+        bloom_update(serial, d, o, 7)
+        got, k = bloom_deserialize(bytes(sk[grp]))
+        assert k == 7 and (got == serial).all(), grp
+    probe = spark.createDataFrame(
+        [(bytes(sk["s0"]), "v0"), (bytes(sk["s0"]), "v1"), (bytes(sk["s0"]), "not-there")],
+        "bloom binary, item string",
+    )
+    got = [r["hit"] for r in probe.select(bloom_might_contain("bloom", "item").alias("hit")).collect()]
+    # v0 is in s0 (even ids); v1 is in s1 only; "not-there" absent — fp odds
+    # at 16384 bits / 500 items are negligible
+    assert got == [True, False, False]
+
+
+def test_bloom_partition_invariance(spark):
+    rows = [("g", f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    a = bloom_sketch(df.repartition(1), ["grp"], "item").collect()[0]["bloom"]
+    b = bloom_sketch(df.repartition(13), ["grp"], "item").collect()[0]["bloom"]
+    assert bytes(a) == bytes(b)
