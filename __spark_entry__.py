@@ -241,6 +241,54 @@ def q_cms_user_event_counts_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_tdigest_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest p50/p90 of order totals per priority; export the rank error
+    vs the exact CDF (|cdf(est_q) − q| ≤ 0.02, the t-digest guarantee)."""
+    from phphll_spark.sketches import tdigest_quantile, tdigest_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    sk = tdigest_sketch(orders, ["o_orderpriority"], "o_totalprice", delta=200)
+    est = sk.select(
+        "o_orderpriority",
+        tdigest_quantile(F.col("tdigest"), F.lit(0.5)).alias("p50"),
+        tdigest_quantile(F.col("tdigest"), F.lit(0.9)).alias("p90"),
+    )
+    joined = orders.join(F.broadcast(est), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.abs(F.avg((F.col("o_totalprice") <= F.col("p50")).cast("double")) - 0.5) <= 0.02
+        ).alias("p50_rank_ok"),
+        (
+            F.abs(F.avg((F.col("o_totalprice") <= F.col("p90")).cast("double")) - 0.9) <= 0.02
+        ).alias("p90_rank_ok"),
+    )
+
+
+def q_kll_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL p50/p95 of lineitem extended price per returnflag; rank error
+    vs exact CDF within the KLL guarantee (≤0.025 at k=200)."""
+    from phphll_spark.sketches import kll_quantile, kll_sketch
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = kll_sketch(li, ["l_returnflag"], "l_extendedprice", k=200)
+    est = sk.select(
+        "l_returnflag",
+        kll_quantile(F.col("kll"), F.lit(0.5)).alias("p50"),
+        kll_quantile(F.col("kll"), F.lit(0.95)).alias("p95"),
+    )
+    joined = li.join(F.broadcast(est), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        (F.abs(F.avg((F.col("l_extendedprice") <= F.col("p50")).cast("double")) - 0.5) <= 0.025).alias(
+            "p50_rank_ok"
+        ),
+        (F.abs(F.avg((F.col("l_extendedprice") <= F.col("p95")).cast("double")) - 0.95) <= 0.025).alias(
+            "p95_rank_ok"
+        ),
+    )
+
+
 def q_bloom_membership_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter per segment over custkeys; every true member must test
     present (no false negatives) — export per-segment found-count."""
@@ -355,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_roundtrip_per_lang": q_hll_roundtrip_per_lang,
         "hll_merge_assoc_per_lang": q_hll_merge_assoc_per_lang,
         "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
+        "tdigest_price_quantiles_bound": q_tdigest_price_quantiles_bound,
+        "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
         "bloom_membership_per_segment": q_bloom_membership_per_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_docs": q_dedup_minhash_docs,
@@ -417,6 +467,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_event_counts_bound": """
             SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
             FROM events WHERE user_id < 10 GROUP BY user_id
+        """,
+        "kll_price_quantiles_bound": """
+            SELECT l_returnflag, COUNT(*) AS n_items,
+                   TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "tdigest_price_quantiles_bound": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+            FROM orders GROUP BY o_orderpriority
         """,
         "bloom_membership_per_segment": """
             SELECT c_mktsegment, COUNT(*) AS n_members_found

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates: the properties that make the engine hold
+at 100 TB must be visible in the plan, not assumed.
+
+- column pruning: the sketch path must never read the fat `html` column
+- predicate pushdown: filters reach the parquet scan (PushedFilters)
+- broadcast joins: small dims broadcast, no shuffle-sort-merge
+- sketch-only shuffle: the exchange after partial aggregation carries
+  (keys, sketch) rows, not raw elements
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphll_spark.functions import hll_count_distinct, hll_partial_sketches
+from phphll_spark.sources.pages import generate_pages_parquet
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    generate_pages_parquet(spark, path, 5_000, n_files=4)
+    return path
+
+
+def test_sketch_path_prunes_html(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(hll_count_distinct(pages, ["lang"], "url"))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "html" not in read_schema[0]
+    assert "text" not in read_schema[0]  # only lang + url are read
+    assert "url" in read_schema[0] and "lang" in read_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    q = hll_count_distinct(pages.filter(F.col("lang") == "en"), ["lang"], "url")
+    plan = _plan(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0], plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_hll_nations_per_region(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_carries_sketches_not_rows(spark, pages_path):
+    """The only exchange in the agg pipeline sits ABOVE the partial-sketch
+    map stage: its input schema is (keys, sketch), never raw value rows."""
+    pages = spark.read.parquet(pages_path)
+    partials = hll_partial_sketches(pages, ["lang"], "url")
+    plan = _plan(
+        partials.groupBy("lang").count()
+    )
+    # the exchange's child must be the python map stage, i.e. hashpartitioning
+    # happens on the partials' lang column after MapInPandas
+    assert "MapInPandas" in plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l or "hashpartitioning" in l]
+    assert exchange_lines, plan
+
+
+def test_whole_stage_codegen_on_native_paths(spark):
+    """Text-analysis expressions stay inside WholeStageCodegen (JVM)."""
+    from phphll_spark.functions import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.groupBy("lang").agg(F.sum(T.token_count("text")).alias("t"))
+    plan = _plan(q, "simple")
+    # AQE prints the pre-final plan; HashAggregate over native expressions is
+    # the codegen path — the key assertion is the absence of Python eval nodes
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # no python UDF
