@@ -306,6 +306,183 @@ def q_bloom_membership_per_segment(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_hll_rollup_lang_source_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) distinct-text estimates from ONE set of
+    per-(lang,source) partial sketches — grouping sets compose for free
+    because the sketch agg is mergeable (SURVEY.md §2.5). Exported with
+    exact counts + 6σ-bound flags per rollup group."""
+    from phphll_spark.functions.sketch import make_hll_merge_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    partials = hll_sketch(docs, ["lang", "source"], "text")
+    est = (
+        partials.rollup("lang", "source")
+        .agg(make_hll_merge_agg()(F.col("sketch")).alias("sketch"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            hll_count_sketch(F.col("sketch")).alias("est"),
+        )
+    )
+    exact = (
+        docs.rollup("lang", "source")
+        .agg(F.countDistinct("text").alias("exact_texts"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "exact_texts",
+        )
+    )
+    return est.join(exact, ["lang", "source"]).select(
+        "lang", "source", "exact_texts", _bound_ok(F.col("est"), F.col("exact_texts"))
+    )
+
+
+def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection cardinality |click ∩ view| by inclusion-exclusion over
+    three HLL estimates (|A|+|B|−|A∪B|). HLL has no native intersect
+    (SURVEY.md §2.5 set ops) — the error bound is the SUM of the three
+    union bounds, exported as a flag against the exact intersection."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    est_a = hll_count_distinct(a, [], "uid", alias="ea")
+    est_b = hll_count_distinct(b, [], "uid", alias="eb")
+    est_u = hll_count_distinct(a.union(b), [], "uid", alias="eu")
+    est = est_a.crossJoin(est_b).crossJoin(est_u).select(
+        (F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
+        (F.ceil(F.lit(_SIX_SIGMA) * (F.col("ea") + F.col("eb") + F.col("eu")))).alias("slack"),
+    )
+    exact = (
+        a.select("uid").intersect(b.select("uid")).agg(F.count("*").alias("exact_intersection"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_intersection",
+        (F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= F.col("slack")).alias(
+            "within_bound"
+        ),
+    )
+
+
+def q_hll_p10_segments_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configurable precision (north star: p ∈ [4,18]): same per-segment
+    distinct-custkey estimate at p=10, checked against the wider
+    1.04/√1024 6σ bound."""
+    p = 10
+    bound = 6 * 1.04 / math.sqrt(2**p)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_custkey").cast("string").alias("ck")
+    )
+    est = hll_count_distinct(cust, ["c_mktsegment"], "ck", p=p, alias="est")
+    exact = cust.groupBy("c_mktsegment").agg(F.countDistinct("ck").alias("exact_customers"))
+    return est.join(exact, "c_mktsegment").select(
+        "c_mktsegment",
+        "exact_customers",
+        (F.abs(F.col("est") - F.col("exact_customers")) <= F.ceil(F.lit(bound) * F.col("exact_customers"))).alias(
+            "within_bound"
+        ),
+    )
+
+
+def q_text_quality_chars_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal raw counts per lang (alpha chars, punctuation chars,
+    stopword tokens) — integer-exact against the SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.transform(T.tokens("text"), F.lower)
+    sw = F.array(*[F.lit(w) for w in T._EN_STOPWORDS])
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))).alias("sum_alpha_chars"),
+        F.sum(F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))).alias("sum_punct_chars"),
+        F.sum(F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))).alias("sum_stopword_tokens"),
+    )
+
+
+def _round_half_up(c: F.Column, n: int) -> F.Column:
+    """floor(x*10^n + 0.5)/10^n — same IEEE ops in Spark and DuckDB, so the
+    oracle comparison is bit-identical (F.round's BigDecimal HALF_UP and
+    DuckDB's ROUND disagree on doubles like 0.42374999999999996)."""
+    f = float(10**n)
+    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per doc (length/alpha/stopword/
+    punctuation mix — the T.quality_score formula), replicated
+    operation-for-operation in the oracle with portable half-up rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.transform(T.tokens("text"), F.lower)
+    sw = F.array(*[F.lit(w) for w in T._EN_STOPWORDS])
+    n_tok = F.size(T.tokens("text")).cast("long")
+    n_chars = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+    stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+    alpha_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(alpha / n_chars, 6))
+    punct_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(punct / n_chars, 6))
+    stop_r = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(stop / n_tok.cast("double"), 6))
+    len_score = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+        * F.least(F.lit(2000.0) / F.greatest(n_tok.cast("double"), F.lit(1.0)), F.lit(1.0))
+    )
+    score = (
+        0.4 * len_score
+        + 0.3 * alpha_r
+        + 0.2 * F.least(stop_r * 3, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct_r * 5, F.lit(1.0)))
+    )
+    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(score, 4))
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (marker-stopword argmax) confusion counts: actual lang x
+    predicted lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact quadratic baseline; blocked
+    variant = same op behind a sign-LSH bucket column)."""
+    from phphll_spark.operators import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: numpy-matmul batch scoring with per-batch local
+    top-k (shuffle carries O(partitions·q·k), never the corpus). Exact by
+    construction — every true top-k row wins its own batch — so it shares
+    the brute-force oracle."""
+    from phphll_spark.operators import cosine_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = {int(r["vec_id"]): list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 5).collect()}
+    out = cosine_topk_blocked(emb, qvecs, "vec_id", "embedding", k=3)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing over embeddings (seeded hyperplanes — murmur-free
+    but numpy-random-based; rows-only check)."""
+    from phphll_spark.operators import sign_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_lsh_buckets(emb, "vec_id", "embedding", num_planes=8).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (scan/filter/join/agg/window — Spark built-ins)
 # ---------------------------------------------------------------------------
@@ -402,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_global_parts_bound": q_hll_global_parts_bound,
         "hll_roundtrip_per_lang": q_hll_roundtrip_per_lang,
         "hll_merge_assoc_per_lang": q_hll_merge_assoc_per_lang,
+        "hll_rollup_lang_source_bound": q_hll_rollup_lang_source_bound,
+        "hll_intersection_event_types": q_hll_intersection_event_types,
+        "hll_p10_segments_bound": q_hll_p10_segments_bound,
         "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
         "tdigest_price_quantiles_bound": q_tdigest_price_quantiles_bound,
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
@@ -412,8 +592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
         "lang_marker_hits": q_lang_marker_hits,
+        "text_quality_chars_per_lang": q_text_quality_chars_per_lang,
+        "quality_score_docs": q_quality_score_docs,
+        "lang_id_confusion": q_lang_id_confusion,
         "embedding_norms": q_embedding_norms,
         "topk_cosine_neighbors": q_topk_cosine_neighbors,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "topk_cosine_blocked": q_topk_cosine_blocked,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "daily_active_users": q_daily_active_users,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -427,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
     six_sigma = repr(_SIX_SIGMA)
     en_list = ",".join(f"'{w}'" for w in _EN)
     de_list = ",".join(f"'{w}'" for w in _DE)
+    es_list = ",".join(f"'{w}'" for w in T._LANG_MARKERS["es"])
+    fr_list = ",".join(f"'{w}'" for w in T._LANG_MARKERS["fr"])
+    sw_list = ",".join(f"'{w}'" for w in T._EN_STOPWORDS)
     norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     tokens = "list_filter(string_split_regex(trim(coalesce(text,'')), '\\s+'), t -> t <> '')"
     return {
@@ -463,6 +652,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_merge_assoc_per_lang": """
             SELECT DISTINCT lang, TRUE AS assoc_ok FROM documents
+        """,
+        "hll_rollup_lang_source_bound": """
+            SELECT COALESCE(lang, '<all>') AS lang,
+                   COALESCE(source, '<all>') AS source,
+                   COUNT(DISTINCT text) AS exact_texts, TRUE AS within_bound
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "hll_intersection_event_types": """
+            SELECT COUNT(*) AS exact_intersection, TRUE AS within_bound FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            )
+        """,
+        "hll_p10_segments_bound": """
+            SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS exact_customers,
+                   TRUE AS within_bound
+            FROM customer GROUP BY c_mktsegment
         """,
         "cms_user_event_counts_bound": """
             SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
@@ -536,6 +743,70 @@ def oracle_sql() -> dict[str, str]:
                                        t -> t IN ({de_list})))) AS de_hits
             FROM documents GROUP BY lang
         """,
+        "text_quality_chars_per_lang": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))) AS sum_alpha_chars,
+                   SUM(length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) AS sum_punct_chars,
+                   SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                       t -> t IN ({sw_list})))) AS sum_stopword_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_score_docs": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     len({tokens}) AS n_tok,
+                     length(coalesce(text,'')) AS n_chars,
+                     length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                     t -> t IN ({sw_list}))) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN n_tok = 0 THEN 0.0 ELSE
+                FLOOR((
+                  0.4 * (LEAST(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+                         * LEAST(2000.0 / GREATEST(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+                  + 0.3 * (CASE WHEN n_chars = 0 THEN 0.0
+                                ELSE FLOOR(CAST(n_alpha AS DOUBLE) / n_chars * 1000000.0 + 0.5) / 1000000.0 END)
+                  + 0.2 * LEAST((CASE WHEN n_tok = 0 THEN 0.0
+                                 ELSE FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END) * 3, 1.0)
+                  + 0.1 * (1 - LEAST((CASE WHEN n_chars = 0 THEN 0.0
+                                      ELSE FLOOR(CAST(n_punct AS DOUBLE) / n_chars * 1000000.0 + 0.5) / 1000000.0 END) * 5, 1.0))
+                ) * 10000.0 + 0.5) / 10000.0 END AS quality
+            FROM m
+        """,
+        "lang_id_confusion": f"""
+            WITH h AS (
+              SELECT lang,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)), t -> t IN ({de_list}))) AS h_de,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)), t -> t IN ({en_list}))) AS h_en,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)), t -> t IN ({es_list}))) AS h_es,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)), t -> t IN ({fr_list}))) AS h_fr
+              FROM documents
+            ), p AS (
+              SELECT lang, GREATEST(h_de, h_en, h_es, h_fr) AS best,
+                     CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                          WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                          WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                          WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                          ELSE 'fr' END AS predicted
+              FROM h
+            )
+            SELECT lang, predicted, COUNT(*) AS n_docs FROM p GROUP BY lang, predicted
+        """,
+        "embedding_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
+                     AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.5
+        """,
         "embedding_norms": """
             SELECT vec_id,
                    ROUND(sqrt(list_sum(list_transform(embedding,
@@ -543,6 +814,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "topk_cosine_neighbors": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                       AS sim
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "topk_cosine_blocked": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

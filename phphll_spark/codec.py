@@ -120,10 +120,14 @@ def encode_sparse(regs: np.ndarray) -> bytes | None:
     return bytes(out)
 
 
-def decode_sparse(payload: bytes, p: int) -> np.ndarray:
+def decode_sparse(payload: bytes, p: int | None = None) -> np.ndarray:
     """Sparse RLE payload -> raw registers; validates total run == 2^p
-    (mirrors hllSparseToDense, hyperloglog.c:562-614)."""
-    m = m_for_p(p)
+    (mirrors hllSparseToDense, hyperloglog.c:562-614).
+
+    ``p=None`` infers precision from the total run length (the sparse
+    encoding is purely positional, so the run total IS m; accepted only if
+    it is a power of two in the supported p range 4-18)."""
+    m = m_for_p(p) if p is not None else None
     b = np.frombuffer(payload, dtype=np.uint8)
     runs: list[int] = []
     vals: list[int] = []
@@ -146,7 +150,10 @@ def decode_sparse(payload: bytes, p: int) -> np.ndarray:
             runs.append((op & 0x3F) + 1)
             i += 1
     total = sum(runs)
-    if total != m:
+    if m is None:
+        if total < 16 or total > (1 << 18) or total & (total - 1):
+            raise InvalidSketchError(f"sparse runs cover {total} registers, not a supported 2^p")
+    elif total != m:
         raise InvalidSketchError(f"sparse runs cover {total} registers, expected {m}")
     return np.repeat(np.array(vals, dtype=np.uint8), np.array(runs, dtype=np.int64))
 
@@ -193,8 +200,9 @@ def deserialize(blob: bytes, p: int | None = None) -> Sketch:
     """HYLL bytes -> raw registers + metadata, with validation
     (mirrors hllLoad/isHLLObjectOrReply, hyperloglog.c:1115-1152).
 
-    ``p`` defaults to inferring from the dense payload length; sparse blobs
-    are validated against p (default 14) via their total run length.
+    ``p`` defaults to inferring from the payload: dense by payload length,
+    sparse by total run length (both uniquely determine m). Pass ``p`` to
+    additionally validate the blob against an expected precision.
     """
     if len(blob) < HDR_SIZE:
         raise InvalidSketchError("blob shorter than HYLL header")
@@ -213,7 +221,7 @@ def deserialize(blob: bytes, p: int | None = None) -> Sketch:
             p = int(m).bit_length() - 1
         regs = unpack_dense(payload, p)
     else:
-        regs = decode_sparse(payload, p if p is not None else HLL_P_DEFAULT)
+        regs = decode_sparse(payload, p)
     return Sketch(regs=regs, encoding=encoding, cached_card=cached)
 
 

@@ -165,7 +165,7 @@ def make_hll_merge_agg(p: int = HLL_P_DEFAULT):
         for blob in blobs:
             if blob is None:
                 continue
-            regs = codec.deserialize(bytes(blob)).regs
+            regs = codec.deserialize(bytes(blob), p).regs
             acc = regs if acc is None else kernel.merge_registers(acc, regs)
         if acc is None:
             acc = kernel.empty_registers(p)

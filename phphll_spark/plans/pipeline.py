@@ -169,8 +169,11 @@ def run_sketch_pipeline(
     manifest = _read_manifest(checkpoint_dir)
     done = set(manifest["completed_splits"])
 
-    src = spark.read.parquet(input_path).withColumn("_split_id", F.input_file_name())
-    all_splits = sorted(r[0] for r in src.select("_split_id").distinct().collect())
+    # split discovery is METADATA-ONLY (file listing, no row scan) and
+    # resume reads ONLY the missing files — a predicate on
+    # input_file_name() can't push down, so filtering post-scan would
+    # re-read every completed split on every resume (fatal at 10^12 rows)
+    all_splits = sorted(spark.read.parquet(input_path).inputFiles())
     todo = [s for s in all_splits if s not in done]
     if fail_after_splits is not None:
         todo = todo[:fail_after_splits]
@@ -178,7 +181,11 @@ def run_sketch_pipeline(
     run_id = uuid.uuid4().hex[:12]
     processed = 0
     if todo:
-        subset = src.filter(F.col("_split_id").isin(todo)).select("_split_id", *key_cols, value_col)
+        subset = (
+            spark.read.parquet(*todo)
+            .withColumn("_split_id", F.input_file_name())
+            .select("_split_id", *key_cols, value_col)
+        )
         if salt_partitions:
             subset = subset.repartition(
                 salt_partitions, F.xxhash64(F.col(value_col), F.col("_split_id"))

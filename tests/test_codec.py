@@ -126,6 +126,26 @@ def test_info():
     assert abs(got["estimate"] - 100) <= 2
 
 
+def test_sparse_p_inference():
+    """Sparse payloads self-describe m via their total run length — a p=10
+    sketch round-trips through deserialize with NO p argument (regression:
+    the merge agg used to assume p=14 for sparse blobs)."""
+    for p in (4, 10, 16):
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[:3] = 5
+        blob = codec.serialize(regs)
+        assert blob[4] == codec.ENC_SPARSE
+        sk = codec.deserialize(blob)  # p inferred from run total
+        assert sk.p == p and (sk.regs == regs).all()
+        # explicit-but-wrong p still rejects
+        with pytest.raises(codec.InvalidSketchError):
+            codec.deserialize(blob, p + 1)
+    # inferred path still rejects non-power-of-two coverage
+    bad = codec._header(codec.ENC_SPARSE, None) + bytes([0x40, 0xFE])  # 255 regs
+    with pytest.raises(codec.InvalidSketchError):
+        codec.deserialize(bad)
+
+
 def test_dense_size_inference():
     for p in (10, 14, 16):
         regs = np.zeros(1 << p, dtype=np.uint8)

@@ -18,7 +18,12 @@ def test_contract_keys_consistent():
     assert set(oracles) <= set(qs)
     # every query is either oracle-checked or explicitly rows-only
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"simhash_docs", "minhash_signatures_docs", "multimodal_features"}
+    assert rows_only == {
+        "simhash_docs",
+        "minhash_signatures_docs",
+        "multimodal_features",
+        "lsh_bucket_stats",
+    }
 
 
 def test_queries_return_dataframes(spark):
