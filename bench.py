@@ -86,6 +86,13 @@ def main() -> None:
     timings["pages_ingest_distinct_urls"] = round(ingest_s, 3)
     docs_per_sec = int(PAGES_ROWS / ingest_s)
 
+    # the north-star workload: hash the ~270 B extracted text per doc
+    t0 = time.time()
+    est_text = hll_global_distinct(pages, "text")
+    text_s = time.time() - t0
+    timings["pages_ingest_distinct_texts"] = round(text_s, 3)
+    text_docs_per_sec = int(PAGES_ROWS / text_s)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +105,8 @@ def main() -> None:
                 "pages_rows": PAGES_ROWS,
                 "pages_docs_per_sec": docs_per_sec,
                 "pages_estimate": est,
+                "pages_text_docs_per_sec": text_docs_per_sec,
+                "pages_text_estimate": est_text,
                 "cpus": CPUS,
             }
         )

@@ -2,11 +2,12 @@
 
 Design for scale:
 
-- MinHash/SimHash are computed in ``mapInPandas`` with *batch-level*
-  vectorization: all shingles of all docs in an Arrow batch are hashed in
-  one murmur64a call (reusing the HLL kernel's hash), then per-doc minima /
-  bit-votes are taken with ``np.minimum.reduceat`` / ``np.add.reduceat``
-  over document boundaries — no per-row Python, no per-shingle Python.
+- MinHash/SimHash are computed in ``mapInArrow`` with *batch-level*
+  vectorization: shingles are overlapping windows straight over the Arrow
+  string buffer (zero copies, no per-row Python), hashed in one murmur64a
+  call (reusing the HLL kernel's hash), then per-doc minima / bit-votes
+  are taken with ``np.minimum.reduceat`` / ``np.add.reduceat`` over
+  document boundaries.
 - Cosine: the JVM path uses higher-order functions (zip_with + aggregate)
   for plan-native scoring; the blocked path (operators/ann.py) broadcasts
   the query matrix and runs one numpy matmul per Arrow batch.
@@ -35,33 +36,46 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+def _shingle_windows_from_buffers(
+    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All character k-gram shingles of all docs as *overlapping windows*
+    over one shared byte buffer (Arrow data buffer — zero copies): returns
+    (window_starts, window_lens, shingles_per_doc).
+
+    Shorter-than-k nonempty docs contribute themselves as one shingle."""
+    counts = np.where(doc_lens >= k, doc_lens - k + 1, (doc_lens > 0).astype(np.int64))
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), counts
+    rep_off = np.repeat(doc_off, counts)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    starts = rep_off + intra
+    wlens = np.repeat(np.minimum(doc_lens, k), counts)
+    return starts, wlens, counts
+
+
 def _char_shingle_windows(
     texts: list[bytes], k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """All character k-gram shingles of all texts as *overlapping windows*
-    over one concatenated buffer — zero materialization: returns
-    (buf, window_starts, window_lens, shingles_per_doc).
-
-    Shorter-than-k nonempty texts contribute themselves as one shingle.
-    Hash with kernel.murmur64a_windows (gather-based, no copy)."""
+    """List-of-bytes convenience wrapper (tests / local paths); Spark paths
+    shingle straight over Arrow buffers via _shingle_windows_from_buffers."""
     doc_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8) if texts else np.empty(0, np.uint8)
     doc_off = np.zeros(len(texts), dtype=np.int64)
     if len(texts):
         np.cumsum(doc_lens[:-1], out=doc_off[1:])
-    counts = np.where(doc_lens >= k, doc_lens - k + 1, (doc_lens > 0).astype(np.int64))
-    total = int(counts.sum())
-    if total == 0:
-        return buf, np.empty(0, np.int64), np.empty(0, np.int64), counts
-    rep_off = np.repeat(doc_off, counts)
-    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
-    starts = rep_off + intra
-    wlens = np.repeat(np.minimum(doc_lens, k), counts)
+    starts, wlens, counts = _shingle_windows_from_buffers(buf, doc_off, doc_lens, k)
     return buf, starts, wlens, counts
 
 
-def minhash_signatures_batch(
-    texts: list[bytes], num_hashes: int, shingle_k: int, seed: int = 42
+def _minhash_from_buffers(
+    buf: np.ndarray,
+    doc_off: np.ndarray,
+    doc_lens: np.ndarray,
+    num_hashes: int,
+    shingle_k: int,
+    seed: int = 42,
 ) -> np.ndarray:
     """(n_docs, num_hashes) int64 MinHash signature matrix for a batch.
 
@@ -69,8 +83,8 @@ def minhash_signatures_batch(
     affine transforms each reduced per-doc with np.minimum.reduceat. Empty
     docs get all-max signatures (match nothing).
     """
-    buf, starts, wlens, counts = _char_shingle_windows(texts, shingle_k)
-    n = len(texts)
+    starts, wlens, counts = _shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
+    n = len(doc_lens)
     sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
     if counts.sum() == 0:
         return sig
@@ -86,12 +100,21 @@ def minhash_signatures_batch(
     return sig
 
 
-def simhash64_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
+def minhash_signatures_batch(
+    texts: list[bytes], num_hashes: int, shingle_k: int, seed: int = 42
+) -> np.ndarray:
+    buf, doc_off, doc_lens = _docs_to_buffers(texts)
+    return _minhash_from_buffers(buf, doc_off, doc_lens, num_hashes, shingle_k, seed)
+
+
+def _simhash_from_buffers(
+    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, shingle_k: int = 4
+) -> np.ndarray:
     """64-bit SimHash per doc: sign-vote over the bits of every shingle
     hash. Vectorized bit-plane-at-a-time: one int32 reduceat per bit keeps
     peak memory at O(#shingles), not O(#shingles * 64)."""
-    buf, starts, wlens, counts = _char_shingle_windows(texts, shingle_k)
-    n = len(texts)
+    starts, wlens, counts = _shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
+    n = len(doc_lens)
     out = np.zeros(n, dtype=np.int64)
     if counts.sum() == 0:
         return out
@@ -108,8 +131,32 @@ def simhash64_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
     return out
 
 
-def _texts_from_series(series: pd.Series) -> list[bytes]:
-    return [b"" if v is None else (v.encode("utf-8") if isinstance(v, str) else bytes(v)) for v in series]
+def simhash64_batch(texts: list[bytes], shingle_k: int = 4) -> np.ndarray:
+    buf, doc_off, doc_lens = _docs_to_buffers(texts)
+    return _simhash_from_buffers(buf, doc_off, doc_lens, shingle_k)
+
+
+def _docs_to_buffers(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """List-of-bytes -> shared buffer + per-doc offsets/lens (tests/local)."""
+    doc_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8) if texts else np.empty(0, np.uint8)
+    doc_off = np.zeros(len(texts), dtype=np.int64)
+    if len(texts):
+        np.cumsum(doc_lens[:-1], out=doc_off[1:])
+    return buf, doc_off, doc_lens
+
+
+def _arrow_doc_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string/binary array -> (buf, doc_off, doc_lens), nulls as
+    empty docs, no per-row Python and no byte copies."""
+    import pyarrow.compute as pc
+
+    from .sketch import _arrow_to_buffers
+
+    if arr.null_count:
+        arr = pc.fill_null(arr, "" if str(arr.type).endswith(("string", "utf8")) else b"")
+    data, offsets, _ = _arrow_to_buffers(arr)
+    return data, offsets[:-1], offsets[1:] - offsets[:-1]
 
 
 def with_minhash(
@@ -121,37 +168,47 @@ def with_minhash(
     seed: int = 42,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Append an ``array<long>`` MinHash signature column (mapInPandas,
-    narrow — no shuffle)."""
+    """Append an ``array<long>`` MinHash signature column (mapInArrow,
+    narrow — no shuffle; shingles hashed straight out of Arrow buffers)."""
+    import pyarrow as pa
+
     fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
     schema = StructType(fields)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            sig = minhash_signatures_batch(_texts_from_series(pdf[text_col]), num_hashes, shingle_k, seed)
-            pdf = pdf.copy()
-            pdf[out_col] = list(sig)
-            yield pdf
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            sig = _minhash_from_buffers(buf, off, lens, num_hashes, shingle_k, seed)
+            col = pa.ListArray.from_arrays(
+                pa.array(np.arange(rb.num_rows + 1, dtype=np.int32) * num_hashes),
+                pa.array(sig.ravel()),
+            )
+            out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.mapInArrow(gen, schema=schema)
 
 
 def with_simhash(df: DataFrame, text_col: str, *, shingle_k: int = 4, out_col: str = "simhash") -> DataFrame:
     """Append a 64-bit SimHash fingerprint column (narrow, vectorized)."""
+    import pyarrow as pa
+
     fields = list(df.schema.fields) + [StructField(out_col, LongType(), False)]
     schema = StructType(fields)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            pdf = pdf.copy()
-            pdf[out_col] = simhash64_batch(_texts_from_series(pdf[text_col]), shingle_k)
-            yield pdf
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            fp = _simhash_from_buffers(buf, off, lens, shingle_k)
+            col = pa.array(fp)
+            out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.mapInArrow(gen, schema=schema)
 
 
 # ---------------------------------------------------------------------------

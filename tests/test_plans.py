@@ -68,8 +68,8 @@ def test_shuffle_carries_sketches_not_rows(spark, pages_path):
         partials.groupBy("lang").count()
     )
     # the exchange's child must be the python map stage, i.e. hashpartitioning
-    # happens on the partials' lang column after MapInPandas
-    assert "MapInPandas" in plan
+    # happens on the partials' lang column after the Arrow map stage
+    assert "MapInArrow" in plan
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l or "hashpartitioning" in l]
     assert exchange_lines, plan
 

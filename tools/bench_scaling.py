@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -31,6 +32,8 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.driver.memory", "48g")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.files.maxPartitionBytes", "160m")
+         .config("spark.sql.files.openCostInBytes", "160m")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, cpus * 4, numPartitions=cpus).mapInPandas(lambda it: it, schema="id long").count()
@@ -73,9 +76,19 @@ def ensure_cache() -> str:
     return cache
 
 
+def _pin_prefix(cpus: int) -> list[str]:
+    """Bound the whole process tree (JVM + Python workers) to N cpus via
+    taskset — local[N] alone only caps JVM task slots, so the small level
+    would borrow extra host cores for its Python workers and the measured
+    scaling would be understated."""
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def run_level(cpus: int, cache: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), cache],
+        [*_pin_prefix(cpus), sys.executable, "-c", RUNNER, str(cpus), cache],
         check=True,
         capture_output=True,
         text=True,
@@ -111,10 +124,13 @@ def main() -> None:
         f"Job: HLL approx-distinct over the synthetic Common-Crawl-style pages table "
         f"({low['rows']:,} rows, parquet, 64 files), identical input at both levels; "
         f"warm steady-state timing (Python workers pre-warmed), min over interleaved "
-        f"rounds. local[{low['cpus']}] vs local[{high['cpus']}] stands in for N vs 4N "
-        "executors (no real cluster in this sandbox). NB the 32-core box is SHARED "
-        "with other tenants (ambient load avg 10-20), so levels were chosen to fit "
-        "under the external load; raw JSON from both levels is committed alongside.",
+        f"rounds. Each level runs `taskset`-pinned to exactly N host cpus so the "
+        f"whole process tree (JVM scan threads AND Python workers) is bounded like "
+        f"an N-core executor container — bare local[N] only caps JVM task slots and "
+        f"overstates the small level. local[{low['cpus']}] vs local[{high['cpus']}] "
+        "stands in for N vs 4N executors (no real cluster in this sandbox). NB the "
+        "32-core box is SHARED with other tenants; raw JSON from both levels is "
+        "committed alongside.",
         "",
         f"| job | local[{low['cpus']}] | local[{high['cpus']}] | speedup | efficiency |",
         "|---|---|---|---|---|",

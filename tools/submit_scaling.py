@@ -43,17 +43,31 @@ def ensure_cache(n_rows: int) -> str:
     return cache
 
 
+def _pin_prefix(cpus: int) -> list[str]:
+    """Model an N-core executor container honestly: bound the WHOLE process
+    tree (JVM scan threads + Python workers) to N cpus. Plain local[N] only
+    caps JVM task slots — Python workers run on extra host cores, which
+    inflates the small level and understates scaling."""
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def submit_once(cpus: int, cache: str, zip_path: str, value_col: str) -> dict:
     ckpt = tempfile.mkdtemp(prefix=f"submit-ckpt-{cpus}-")
     try:
         env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
         out = subprocess.run(
             [
+                *_pin_prefix(cpus),
                 SPARK_SUBMIT,
                 "--master", f"local[{cpus}]",
                 "--driver-memory", "24g",
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=65536",
+                # one ~150 MB cache file per task -> exact waves, no stragglers
+                "--conf", "spark.sql.files.maxPartitionBytes=160m",
+                "--conf", "spark.sql.files.openCostInBytes=160m",
                 "--py-files", zip_path,
                 os.path.join(REPO, "jobs", "sketch_submit.py"),
                 "--input", cache,
