@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--fail-after-splits", type=int, default=None,
                     help="test hook: stop after N splits (simulated kill)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="fold 2 splits untimed first (JIT + Python workers + "
+                         "Arrow path) so wall_sec measures steady-state "
+                         "throughput — the regime that matters at 10^12 rows")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -53,6 +57,11 @@ def main() -> None:
     from phphll_spark.plans.pipeline import run_sketch_pipeline
 
     keys = [k for k in args.keys.split(",") if k]
+    if args.warmup:
+        from phphll_spark.functions.sketch import hll_partial_sketches
+
+        warm_files = spark.read.parquet(args.input).inputFiles()[:2]
+        hll_partial_sketches(spark.read.parquet(*warm_files), [], args.value, p=args.p).count()
     t0 = time.time()
     res = run_sketch_pipeline(
         spark,

@@ -129,33 +129,57 @@ def decode_sparse(payload: bytes, p: int | None = None) -> np.ndarray:
     it is a power of two in the supported p range 4-18)."""
     m = m_for_p(p) if p is not None else None
     b = np.frombuffer(payload, dtype=np.uint8)
-    runs: list[int] = []
-    vals: list[int] = []
-    i = 0
     n = len(b)
-    while i < n:
-        op = int(b[i])
-        if op & 0x80:  # VAL
-            vals.append(((op >> 2) & 0x1F) + 1)
-            runs.append((op & 0x3) + 1)
-            i += 1
-        elif op & 0x40:  # XZERO
-            if i + 1 >= n:
-                raise InvalidSketchError("truncated XZERO opcode")
-            vals.append(0)
-            runs.append((((op & 0x3F) << 8) | int(b[i + 1])) + 1)
-            i += 2
-        else:  # ZERO
-            vals.append(0)
-            runs.append((op & 0x3F) + 1)
-            i += 1
-    total = sum(runs)
+    if n == 0:
+        raise InvalidSketchError("empty sparse payload")
+    # opcode widths: XZERO (01xxxxxx) is 2 bytes, ZERO/VAL are 1. Opcode
+    # START positions form the orbit of 0 under i -> i + width(b[i]);
+    # enumerate it without a per-opcode Python loop by pointer doubling
+    # (the reachable set doubles per numpy round, so log2(#opcodes)
+    # gathers of at most #opcodes indices each).
+    is_xzero = (b & 0xC0) == 0x40
+    if not is_xzero.any():
+        starts = np.arange(n, dtype=np.int64)
+    else:
+        jump = np.full(n + 1, n, dtype=np.int64)
+        jump[:n] = np.arange(n, dtype=np.int64) + np.where(is_xzero, 2, 1)
+        np.minimum(jump, n, out=jump)
+        starts = np.array([0], dtype=np.int64)
+        hop = jump
+        while True:
+            new = hop[starts]
+            grown = np.union1d(starts, new[new < n])
+            if grown.size == starts.size:
+                break
+            starts = grown
+            hop = hop[np.minimum(hop, n)]  # double the hop distance
+        if int(jump[starts[-1]]) < n:
+            # orbit stalled before consuming the payload (can't happen for
+            # well-formed input; guard against pathological cycles)
+            raise InvalidSketchError("sparse opcode stream does not terminate")
+    ops = b[starts]
+    if bool(is_xzero[starts[-1]]) and int(starts[-1]) + 1 >= n:
+        raise InvalidSketchError("truncated XZERO opcode")
+    op_is_val = (ops & 0x80) != 0
+    op_is_xzero = (ops & 0xC0) == 0x40
+    second = b[np.minimum(starts + 1, n - 1)].astype(np.int64)
+    runs_arr = np.where(
+        op_is_val,
+        (ops & 0x3).astype(np.int64) + 1,
+        np.where(
+            op_is_xzero,
+            (((ops & 0x3F).astype(np.int64) << 8) | second) + 1,
+            (ops & 0x3F).astype(np.int64) + 1,
+        ),
+    )
+    vals_arr = np.where(op_is_val, ((ops >> 2) & 0x1F).astype(np.uint8) + 1, 0).astype(np.uint8)
+    total = int(runs_arr.sum())
     if m is None:
         if total < 16 or total > (1 << 18) or total & (total - 1):
             raise InvalidSketchError(f"sparse runs cover {total} registers, not a supported 2^p")
     elif total != m:
         raise InvalidSketchError(f"sparse runs cover {total} registers, expected {m}")
-    return np.repeat(np.array(vals, dtype=np.uint8), np.array(runs, dtype=np.int64))
+    return np.repeat(vals_arr, runs_arr)
 
 
 def _header(encoding: int, card: int | None) -> bytes:

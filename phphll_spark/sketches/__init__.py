@@ -28,6 +28,28 @@ from .cms import (
     make_cms_merge_agg,
 )
 
+
+def register_sketch_sql_functions(spark) -> None:
+    """Expose the non-HLL sketch family to Spark SQL, mirroring
+    functions.sketch.register_sql_functions for HLL:
+
+    aggregates ``cms_merge_agg`` / ``bloom_merge_agg`` / ``tdigest_merge_agg``
+    / ``kll_merge_agg`` (re-merge checkpointed sketch columns in SQL) and
+    scalars ``cms_point_estimate`` / ``bloom_might_contain`` /
+    ``tdigest_quantile`` / ``kll_quantile``.
+    """
+    from .kll import kll_quantile as _kll_q
+    from .tdigest import tdigest_quantile as _td_q
+
+    spark.udf.register("cms_merge_agg", make_cms_merge_agg())
+    spark.udf.register("bloom_merge_agg", make_bloom_merge_agg())
+    spark.udf.register("tdigest_merge_agg", make_tdigest_merge_agg())
+    spark.udf.register("kll_merge_agg", make_kll_merge_agg())
+    spark.udf.register("cms_point_estimate", cms_point_estimate)
+    spark.udf.register("bloom_might_contain", bloom_might_contain)
+    spark.udf.register("tdigest_quantile", _td_q)
+    spark.udf.register("kll_quantile", _kll_q)
+
 __all__ = [
     "KLL",
     "TDigest",
@@ -50,4 +72,5 @@ __all__ = [
     "make_bloom_merge_agg",
     "make_cms_merge_agg",
     "optimal_params",
+    "register_sketch_sql_functions",
 ]

@@ -173,3 +173,29 @@ def test_bloom_partition_invariance(spark):
     a = bloom_sketch(df.repartition(1), ["grp"], "item").collect()[0]["bloom"]
     b = bloom_sketch(df.repartition(13), ["grp"], "item").collect()[0]["bloom"]
     assert bytes(a) == bytes(b)
+
+
+def test_register_sketch_sql_functions(spark):
+    """Full sketch family reachable from SQL: build partials as columns,
+    then merge + probe entirely in SQL."""
+    from phphll_spark.sketches import (
+        cms_sketch,
+        kll_sketch,
+        register_sketch_sql_functions,
+    )
+
+    register_sketch_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("a", f"u{i % 50}", float(i)) for i in range(500)], "grp string, uid string, x double"
+    )
+    cms_sketch(df, ["grp"], "uid").createOrReplaceTempView("cms_parts")
+    est = spark.sql(
+        "SELECT cms_point_estimate(cms_merge_agg(cms), 'u7') AS est FROM cms_parts"
+    ).collect()[0]["est"]
+    assert est >= 10  # u7 occurs 10 times; CMS never undercounts
+
+    kll_sketch(df, ["grp"], "x").createOrReplaceTempView("kll_parts")
+    p50 = spark.sql(
+        "SELECT kll_quantile(kll_merge_agg(kll), 0.5) AS p50 FROM kll_parts"
+    ).collect()[0]["p50"]
+    assert 200.0 <= p50 <= 300.0

@@ -74,6 +74,7 @@ def submit_once(cpus: int, cache: str, zip_path: str, value_col: str) -> dict:
                 "--checkpoint", ckpt,
                 "--value", value_col,
                 "--shuffle-partitions", str(cpus),
+                "--warmup",
             ],
             check=True,
             capture_output=True,
