@@ -21,6 +21,8 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from phphll_spark.functions import (
@@ -386,6 +388,61 @@ def q_hll_p10_segments_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_users_sliding_week_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 7-day windows (1-day slide) of distinct users: each event
+    lands in 7 windows; a sketch agg per window start, exact + 6σ flag.
+    Sliding windows compose with the sketch agg exactly like tumbling
+    ones because the merge is grouping-independent."""
+    from phphll_spark.functions.sketch import make_hll_sketch_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    win = F.window("ts", "7 days", "1 day").alias("w")
+    est = (
+        ev.groupBy(win)
+        .agg(make_hll_sketch_agg()(F.col("uid")).alias("sketch"))
+        .select(F.col("w.start").cast("date").alias("win_start"), hll_count_sketch(F.col("sketch")).alias("est"))
+    )
+    exact = (
+        ev.groupBy(win)
+        .agg(F.countDistinct("uid").alias("exact_users"))
+        .select(F.col("w.start").cast("date").alias("win_start"), "exact_users")
+    )
+    return est.join(exact, "win_start").select(
+        "win_start", "exact_users", _bound_ok(F.col("est"), F.col("exact_users"))
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN vs exact brute force: recall@3 of the
+    probed search must reach 2/3 for every query (deterministic: seeded
+    k-means, fixed data)."""
+    from phphll_spark.operators import cosine_topk_bruteforce, ivf_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    qvecs = {int(r["vec_id"]): list(r["embedding"]) for r in queries.collect()}
+    train = np.array(
+        [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 256).collect()],
+        dtype=np.float64,
+    )
+    centroids = kmeans_centroids(train, 8, seed=42)
+    approx = ivf_topk(emb, qvecs, "vec_id", "embedding", centroids=centroids, n_probe=3, k=3)
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", "vec_id", k=3)
+    overlap = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select("query_id", (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 2).alias("recall_ok"))
+    )
+
+
 def q_text_quality_chars_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal raw counts per lang (alpha chars, punctuation chars,
     stopword tokens) — integer-exact against the SQL oracle."""
@@ -582,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_lang_source_bound": q_hll_rollup_lang_source_bound,
         "hll_intersection_event_types": q_hll_intersection_event_types,
         "hll_p10_segments_bound": q_hll_p10_segments_bound,
+        "hll_users_sliding_week_bound": q_hll_users_sliding_week_bound,
         "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
         "tdigest_price_quantiles_bound": q_tdigest_price_quantiles_bound,
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
@@ -600,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "topk_cosine_blocked": q_topk_cosine_blocked,
         "lsh_bucket_stats": q_lsh_bucket_stats,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "daily_active_users": q_daily_active_users,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -670,6 +729,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS exact_customers,
                    TRUE AS within_bound
             FROM customer GROUP BY c_mktsegment
+        """,
+        "hll_users_sliding_week_bound": """
+            WITH ex AS (
+              SELECT CAST(date_trunc('day', ts) - (ks.k * INTERVAL 1 DAY) AS DATE) AS win_start,
+                     user_id
+              FROM events CROSS JOIN (SELECT range AS k FROM range(7)) ks
+            )
+            SELECT win_start, COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM ex GROUP BY win_start
+        """,
+        "ann_ivf_recall": """
+            SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 5
         """,
         "cms_user_event_counts_bound": """
             SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound

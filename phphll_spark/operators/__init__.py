@@ -1,4 +1,10 @@
-from .ann import cosine_topk_blocked, cosine_topk_bruteforce, sign_lsh_buckets
+from .ann import (
+    cosine_topk_blocked,
+    cosine_topk_bruteforce,
+    ivf_topk,
+    kmeans_centroids,
+    sign_lsh_buckets,
+)
 from .dedup import (
     dedup_exact,
     dedup_exact_keep,
@@ -18,6 +24,8 @@ __all__ = [
     "dedup_minhash",
     "embedding_near_dup_pairs",
     "extract_features",
+    "ivf_topk",
+    "kmeans_centroids",
     "make_fake_media_df",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",

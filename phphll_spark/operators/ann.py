@@ -98,6 +98,92 @@ def cosine_topk_blocked(
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    vecs: np.ndarray, n_centroids: int, *, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain-numpy Lloyd's k-means on (normalized) sample vectors — the
+    coarse quantizer trainer for IVF. Deterministic (seeded init); empty
+    clusters re-seeded from the farthest points."""
+    X = normalize_rows(np.asarray(vecs, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = X[np.argmin(np.max(sims, axis=1))]
+        C = normalize_rows(C)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vectors: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to their
+    nearest coarse centroid per Arrow batch (one matmul); each query only
+    scores vectors whose centroid is in its ``n_probe`` nearest lists.
+
+    At real scale the assignment runs once into a bucketed/partitioned
+    table and queries touch only their probe partitions; here the probe
+    mask is applied in-flight so the whole operator stays one narrow
+    pass + a tiny top-k shuffle, same contract as cosine_topk_blocked.
+    Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    qids = np.array(sorted(query_vectors), dtype=np.int64)
+    Q = normalize_rows(np.array([query_vectors[int(i)] for i in qids], dtype=np.float64))
+    C = normalize_rows(np.asarray(centroids, dtype=np.float64))
+    # probe_mask[c, q] = centroid c is among query q's n_probe nearest
+    qc = Q @ C.T  # (q, centroids)
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]
+    probe_mask = np.zeros((C.shape[0], len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[probes[qi], qi] = True
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine_sim", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = normalize_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            assign = np.argmax(X @ C.T, axis=1)
+            sims = X @ Q.T  # (batch, q)
+            sims[~probe_mask[assign]] = -2.0  # outside probe lists
+            kk = min(k, len(ids))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows_q = np.repeat(qids, kk)
+            rows_n = ids[part.T.reshape(-1)]
+            rows_s = np.take_along_axis(sims, part, axis=0).T.reshape(-1)
+            keep = rows_s > -2.0
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "cosine_sim": np.round(rows_s[keep], 6),
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def sign_lsh_buckets(
     df: DataFrame,
     id_col: str,

@@ -216,3 +216,30 @@ def test_shingles_and_jaccard_native(spark):
     ).select(jaccard("sa", "sb").alias("j")).collect()[0]
     # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → J = 2/4
     assert abs(row["j"] - 0.5) < 1e-9
+
+
+def test_ivf_topk_subset_of_probed_and_deterministic(spark):
+    """IVF results are exact WITHIN the probed lists: with n_probe =
+    n_centroids it must equal brute force; with fewer probes it returns a
+    subset ranked identically."""
+    import numpy as np
+
+    from phphll_spark.operators import cosine_topk_bruteforce, ivf_topk, kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvecs = {i: rows[i][1] for i in range(3)}
+    centroids = kmeans_centroids(np.array([r[1] for r in rows[:128]]), 4, seed=1)
+
+    exact = cosine_topk_bruteforce(emb, emb.filter("vec_id < 3"), "vec_id", "embedding", "vec_id", k=5)
+    full_probe = ivf_topk(emb, qvecs, "vec_id", "embedding", centroids=centroids, n_probe=4, k=5)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full_probe.collect()}
+    assert a == b
+
+    probed = ivf_topk(emb, qvecs, "vec_id", "embedding", centroids=centroids, n_probe=1, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    # each query must at least find itself (it lives in its own nearest list)
+    for q in qvecs:
+        assert (q, q) in got
