@@ -2,6 +2,12 @@ from .stream import (
     foreach_batch_sketch_sink,
     read_sketch_table,
     stateful_sketch_counts,
+    windowed_sketch_sink,
 )
 
-__all__ = ["foreach_batch_sketch_sink", "read_sketch_table", "stateful_sketch_counts"]
+__all__ = [
+    "foreach_batch_sketch_sink",
+    "read_sketch_table",
+    "stateful_sketch_counts",
+    "windowed_sketch_sink",
+]

@@ -72,6 +72,37 @@ def foreach_batch_sketch_sink(
     return sink
 
 
+def windowed_sketch_sink(
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    window_seconds: int,
+    table_dir: str,
+    p: int = HLL_P_DEFAULT,
+):
+    """foreachBatch sink for EVENT-TIME tumbling-window sketches.
+
+    Each micro-batch's rows are assigned to their tumbling window
+    (epoch-aligned, like ``F.window``) and max-merged into the snapshot
+    table keyed by (keys..., win_start). **Late data needs no special
+    handling**: a late row merges into its (old) window's sketch
+    idempotently — the window row is simply rewritten, estimates stay
+    exact under any arrival order. A watermark upstream only bounds how
+    far back windows keep changing; it never affects correctness here.
+    """
+    win_start = (
+        (F.unix_timestamp(F.col(ts_col)) - (F.unix_timestamp(F.col(ts_col)) % window_seconds))
+        .cast("timestamp")
+        .alias("win_start")
+    )
+    inner = foreach_batch_sketch_sink(keys + ["win_start"], value_col, table_dir, p)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        inner(batch_df.withColumn("win_start", win_start), epoch_id)
+
+    return sink
+
+
 def read_sketch_table(spark, table_dir: str) -> DataFrame:
     with open(os.path.join(table_dir, "_CURRENT")) as f:
         current = f.read().strip()

@@ -84,3 +84,47 @@ def test_stateful_sketch_counts(spark, stream_dir, tmp_path):
     assert latest == {"en": en.count(), "de": de.count()}
     total_rows = {r["lang"]: r["rows_seen"] for r in rows if r["rows_seen"]}
     assert total_rows["en"] == 250  # 100 + 150 raw rows folded into state
+
+
+def test_windowed_sketch_sink_handles_late_data(spark, tmp_path):
+    """Event-time tumbling windows with a LATE row arriving two
+    micro-batches after its window: the old window's sketch absorbs it
+    idempotently and every window matches a serial HLL."""
+    from datetime import datetime
+
+    from phphll_spark.streaming import windowed_sketch_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    h = lambda hour, i: (datetime(2024, 9, 1, hour, 30), f"u{hour}_{i}")
+    b1 = [h(0, i) for i in range(40)] + [h(1, i) for i in range(30)]
+    b2 = [h(1, i) for i in range(20, 60)]
+    b3 = [h(0, i) for i in range(35, 50)]  # LATE: hour-0 rows after hour-1 seen
+    for n, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        spark.createDataFrame(rows, "ts timestamp, uid string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / n))
+
+    table = str(tmp_path / "win_table")
+    stream = (
+        spark.readStream.schema("ts timestamp, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(windowed_sketch_sink([], "uid", "ts", 3600, table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["win_start"].hour: r["n"]
+        for r in read_sketch_table(spark, table)
+        .select("win_start", hll_count_sketch(F.col("sketch")).alias("n"))
+        .collect()
+    }
+    h0 = HLL(); h0.add([f"u0_{i}" for i in range(50)])   # 0..39 ∪ 35..49
+    h1 = HLL(); h1.add([f"u1_{i}" for i in range(60)])   # 0..29 ∪ 20..59
+    assert got == {0: h0.count(), 1: h1.count()}
