@@ -170,6 +170,47 @@ def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.8, block_col="blk")
 
 
+def q_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup output: keep the lowest-doc_id row per content
+    fingerprint (the actual training-data-pipeline 'write the cleaned
+    table' step, not just the dup report)."""
+    from phphll_spark.operators import dedup_exact_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_keep(docs, "doc_id", "text").select("doc_id", "lang", "source")
+
+
+def q_hll_union_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise scalar merge (hll_merge, php/hll.c:463-585): union
+    estimate of the en and de text sketches vs exact |en ∪ de|."""
+    from phphll_spark.functions.sketch import hll_merge_pair
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = hll_sketch(docs.filter(F.col("lang").isin("en", "de")), ["lang"], "text")
+    en = sk.filter(F.col("lang") == "en").select(F.col("sketch").alias("s_en"))
+    de = sk.filter(F.col("lang") == "de").select(F.col("sketch").alias("s_de"))
+    est = en.crossJoin(de).select(
+        hll_count_sketch(hll_merge_pair(F.col("s_en"), F.col("s_de"))).alias("est")
+    )
+    exact = (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .agg(F.countDistinct("text").alias("exact_union"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_union", _bound_ok(F.col("est"), F.col("exact_union"))
+    )
+
+
+def q_bpe_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pre-tokenizer unit counts (words / digits / punctuation
+    runs) per lang — the token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+    )
+
+
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.content_fingerprint("text").alias("fingerprint"))
@@ -645,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
         "bloom_membership_per_segment": q_bloom_membership_per_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_keep_docs": q_dedup_keep_docs,
+        "hll_union_en_de": q_hll_union_en_de,
+        "bpe_token_stats_per_lang": q_bpe_token_stats_per_lang,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
@@ -798,6 +842,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "dedup_keep_docs": f"""
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "hll_union_en_de": """
+            SELECT COUNT(DISTINCT text) AS exact_union, TRUE AS within_bound
+            FROM documents WHERE lang IN ('en', 'de')
+        """,
+        "bpe_token_stats_per_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(list_filter(
+                       regexp_extract_all(coalesce(text,''),
+                           '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+)', 1),
+                       t -> trim(t) <> ''))) AS total_bpe_tokens
+            FROM documents GROUP BY lang
         """,
         "fingerprint_docs": f"""
             SELECT doc_id, md5({norm}) AS fingerprint FROM documents
