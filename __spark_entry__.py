@@ -585,6 +585,16 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage (scan/filter/join/agg/window — Spark built-ins)
 # ---------------------------------------------------------------------------
 
+def q_session_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): per-user session count,
+    event count and total in-session span — plan-native lag + cumsum
+    windows, one shuffle on the user key."""
+    from phphll_spark.operators import session_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return session_stats(ev, "user_id", "ts", gap_seconds=1800)
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
@@ -703,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_blocked": q_topk_cosine_blocked,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "session_stats_users": q_session_stats_users,
         "daily_active_users": q_daily_active_users,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -982,6 +993,27 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        "session_stats_users": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     SUM(CASE WHEN prev IS NULL
+                              OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events WHERE user_id < 20
+              )
+            ), per AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                     CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_s
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+                   SUM(span_s) AS total_span_s
+            FROM per GROUP BY user_id
         """,
         "daily_active_users": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -15,6 +15,7 @@ from .dedup import (
     simhash_near_dup_pairs,
 )
 from .multimodal import extract_features, make_fake_media_df
+from .sessions import session_stats, sessionize
 
 __all__ = [
     "cosine_topk_blocked",
@@ -29,6 +30,8 @@ __all__ = [
     "make_fake_media_df",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "session_stats",
+    "sessionize",
     "sign_lsh_buckets",
     "simhash_near_dup_pairs",
 ]
