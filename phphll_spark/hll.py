@@ -43,6 +43,11 @@ def php_string(value) -> str:
             mant, exp = s.split("E")
             s = f"{mant}.0E{exp}"
         return s
+    # objects that define their own __str__ coerce like PHP objects with
+    # __toString (hll_add_object_stringable.phpt); bare objects error
+    # (hll_add_object.phpt / hll_add_resource.phpt)
+    if type(value).__str__ is not object.__str__:
+        return str(value)
     raise TypeError(f"cannot coerce {type(value).__name__} to an HLL element "
                     "(mirrors hll_add_object.phpt / hll_add_resource.phpt)")
 
@@ -161,6 +166,13 @@ class HLL:
         """Validated deserialize (hll_load, php/hll.c:793-814)."""
         return cls(blob)
 
+    def __reduce__(self):
+        """Pickle via the HYLL dump — the analog of the reference's PHP
+        serialize()/unserialize() hooks (php/hll.c:97-163,
+        hll_obj_serialize.phpt); also what lets executors ship an HLL in
+        a closure safely."""
+        return (type(self), (self.dump(),))
+
     @classmethod
     def merge_all(cls, sketches: Iterable) -> "HLL":
         out = cls()
@@ -185,5 +197,9 @@ def hll_count(*sketches) -> int:
 
 
 def hll_merge(*sketches) -> HLL:
-    """Pure merge returning a new sketch (hll_merge_func.phpt)."""
+    """Pure merge returning a new sketch; accepts variadic args or a single
+    list, HLL objects or HYLL blobs mixed (hll_merge_func.phpt /
+    hll_merge_mixed.phpt)."""
+    if len(sketches) == 1 and isinstance(sketches[0], (list, tuple)):
+        sketches = tuple(sketches[0])
     return HLL.merge_all([s for s in sketches if s is not None])

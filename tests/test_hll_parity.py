@@ -6,6 +6,7 @@ import os
 
 import pytest
 
+from phphll_spark import codec as codec_mod
 from phphll_spark.hll import HLL, hll_count, hll_merge, php_string
 
 WORDS_GZ = "/root/reference/php/tests/words.gz"
@@ -176,3 +177,57 @@ def test_count_of_loaded_uses_cache():
     b = HLL(blob)
     assert b._cached is not None  # cache honored on load (hyperloglog.c:1234-1267)
     assert b.count() == a.count()
+
+
+def test_add_object_stringable():
+    """hll_add_object_stringable.phpt: objects defining __str__ coerce to
+    their string form (PHP __toString); value-equal to the plain string."""
+    class Doc:
+        def __str__(self):
+            return "hello"
+
+    h = HLL()
+    h.add(Doc())
+    h.add("hello")
+    assert h.count() == 1
+    # a class with only __repr__ still errors (no explicit __toString)
+    class NoStr:
+        def __repr__(self):
+            return "nope"
+
+    with pytest.raises(TypeError):
+        HLL().add(NoStr())
+
+
+def test_add_mem_flat():
+    """hll_add_mem.phpt: memory stays flat over 50k adds — register array
+    size and dump size are O(1) regardless of input volume."""
+    h = HLL()
+    h.add([str(i) for i in range(50000)])
+    assert h.regs.nbytes == 16384  # raw accumulator never grows
+    assert len(h.dump()) == 16 + 12288  # dense HYLL dump is fixed-size
+
+
+def test_merge_func_forms():
+    """hll_merge_func.phpt / hll_merge_mixed.phpt: pure hll_merge over
+    variadic args, a single list, and mixed HLL objects + HYLL blobs."""
+    a = HLL(); a.add(["x", "y"])
+    b = HLL(); b.add(["y", "z"])
+    assert hll_merge(a, b).count() == 3
+    assert hll_merge([a, b]).count() == 3          # args-or-array
+    assert hll_merge(a, b.dump()).count() == 3     # mixed object + blob
+    assert a.count() == 2 and b.count() == 2       # inputs untouched
+
+
+def test_pickle_roundtrip():
+    """hll_obj_serialize.phpt / hll_obj_unserialize.phpt: serialize hooks —
+    pickling goes through the validated HYLL dump."""
+    import pickle
+
+    h = HLL()
+    h.add([str(i) for i in range(1000)])
+    back = pickle.loads(pickle.dumps(h))
+    assert back.count() == h.count()
+    assert (back.regs == h.regs).all()
+    with pytest.raises(codec_mod.InvalidSketchError):
+        HLL(b"HYLLgarbage_that_is_not_valid")
