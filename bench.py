@@ -29,12 +29,18 @@ HEADLINE = [
     "hll_global_parts_bound",
     "hll_users_per_event_type_bound",
     "hll_users_per_day_bound",
+    "hll_users_sliding_week_bound",
     "hll_merge_assoc_per_lang",
+    "hll_rollup_lang_source_bound",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "fingerprint_docs",
     "token_stats_per_lang",
+    "quality_score_docs",
+    "bpe_token_stats_per_lang",
+    "session_stats_users",
     "topk_cosine_neighbors",
+    "ann_ivf_recall",
     "simhash_docs",
     "pricing_summary",
     "daily_active_users",

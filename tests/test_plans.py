@@ -85,3 +85,24 @@ def test_whole_stage_codegen_on_native_paths(spark):
     # the codegen path — the key assertion is the absence of Python eval nodes
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan  # no python UDF
+
+def test_sessionize_single_shuffle_no_python(spark):
+    """Sessionization = analytic windows on one user-key shuffle; the whole
+    operator stays JVM-side (no Python eval nodes)."""
+    from phphll_spark.operators import session_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(session_stats(ev, "user_id", "ts"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_dedup_exact_native_partial_agg(spark):
+    """Exact dedup is a JVM md5 + hash agg with map-side partial
+    aggregation — no Python, one shuffle."""
+    from phphll_spark.operators import dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_exact(docs, "doc_id", "text"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
