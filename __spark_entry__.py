@@ -434,22 +434,25 @@ def q_hll_users_sliding_week_bound(spark: SparkSession, sf_dir: str) -> DataFram
     lands in 7 windows; a sketch agg per window start, exact + 6σ flag.
     Sliding windows compose with the sketch agg exactly like tumbling
     ones because the merge is grouping-independent."""
-    from phphll_spark.functions.sketch import make_hll_sketch_agg
-
     ev = load_table(spark, sf_dir, "events").select(
         "ts", F.col("user_id").cast("string").alias("uid")
     )
-    win = F.window("ts", "7 days", "1 day").alias("w")
-    est = (
-        ev.groupBy(win)
-        .agg(make_hll_sketch_agg()(F.col("uid")).alias("sketch"))
-        .select(F.col("w.start").cast("date").alias("win_start"), hll_count_sketch(F.col("sketch")).alias("est"))
-    )
-    exact = (
-        ev.groupBy(win)
-        .agg(F.countDistinct("uid").alias("exact_users"))
-        .select(F.col("w.start").cast("date").alias("win_start"), "exact_users")
-    )
+    # scale shape: explode each event into its 7 sliding windows MAP-SIDE
+    # (equivalent to F.window("ts", "7 days", "1 day")), then the partial
+    # fold absorbs the 7x rows per partition — the shuffle still carries
+    # only (win_start, sketch) rows, never events
+    exploded = ev.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "ts") - F.expr("INTERVAL 6 DAYS"),
+                F.date_trunc("day", "ts"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("w"),
+        "uid",
+    ).select(F.col("w").cast("date").alias("win_start"), "uid")
+    est = hll_count_distinct(exploded, ["win_start"], "uid", alias="est")
+    exact = exploded.groupBy("win_start").agg(F.countDistinct("uid").alias("exact_users"))
     return est.join(exact, "win_start").select(
         "win_start", "exact_users", _bound_ok(F.col("est"), F.col("exact_users"))
     )

@@ -112,7 +112,13 @@ def dedup_minhash(
 
     Output: (id_a, id_b, jaccard_sim). Candidates come from LSH buckets so
     the verification join touches only colliding pairs, never the cross
-    product."""
+    product.
+
+    Scale note: EXACT duplicates all land in the same buckets, so a
+    cluster of k byte-identical docs contributes k(k-1)/2 candidate
+    pairs. At web scale run ``dedup_exact_keep`` first (hash-agg, one
+    shuffle) and near-dup only the survivors — that bounds every LSH
+    bucket by true near-dup density instead of copy count."""
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed
     ).persist()
