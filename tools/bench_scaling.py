@@ -154,7 +154,9 @@ def main() -> None:
         "_Generated by tools/bench_scaling.py; bench.py prints the per-round "
         "headline JSON consumed by the driver._",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # write the raw per-session report next to the curated BENCH.md
+    # (BENCH.md itself is hand-maintained and must not be clobbered)
+    with open(os.path.join(REPO, "BENCH_scaling.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     for job in low["jobs"]:
         eff = (low["jobs"][job]["sec"] / high["jobs"][job]["sec"]) / 4
