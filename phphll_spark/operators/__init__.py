@@ -14,7 +14,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from .multimodal import extract_features, make_fake_media_df
+from .multimodal import extract_features, make_fake_media_df, resize_images, sample_frames
 from .sessions import session_stats, sessionize
 
 __all__ = [
@@ -30,6 +30,8 @@ __all__ = [
     "make_fake_media_df",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "resize_images",
+    "sample_frames",
     "session_stats",
     "sessionize",
     "sign_lsh_buckets",

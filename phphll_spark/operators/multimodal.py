@@ -109,6 +109,88 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False) -> Dat
     return df.select("media_id", "kind", "content").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def resize_images(df: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize step of the media pipeline (mapInPandas, narrow). Real
+    implementation needs an imaging library; ``fake=True`` produces a
+    deterministic fixed-size surrogate (content-seeded bytes of
+    width*height) so batch shape/schema/partitioning are testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for content in pdf["content"]:
+                raw = b"" if content is None else bytes(content)
+                if not fake:
+                    decode_image(raw)  # pragma: no cover — raises
+                seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") ^ (width * 31 + height)
+                rng = np.random.default_rng(seed & 0x7FFFFFFF)
+                out.append(rng.integers(0, 256, size=width * height, dtype=np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "content": out,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, frame) — a 1->N mapInPandas expansion.
+    Frame count derives from meta.duration_ms; decode is stubbed like the
+    rest of the media path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"], pdf["duration_ms"]):
+                raw = b"" if content is None else bytes(content)
+                if not fake:
+                    decode_image(raw)  # pragma: no cover — raises
+                n_frames = max(1, int(dur or 0) // every_ms)
+                for fi in range(n_frames):
+                    seed = (int(mid) << 16) ^ fi
+                    rng = np.random.default_rng(seed & 0x7FFFFFFF)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    tss.append(fi * every_ms)
+                    frames.append(rng.integers(0, 256, size=64, dtype=np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    src = df.filter(df["kind"] == "video").select(
+        "media_id", "content", df["meta"]["duration_ms"].alias("duration_ms")
+    )
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for plumbing tests."""
     rng = np.random.default_rng(seed)

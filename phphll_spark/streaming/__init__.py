@@ -1,6 +1,7 @@
 from .stream import (
     foreach_batch_sketch_sink,
     read_sketch_table,
+    stateful_sessions,
     stateful_sketch_counts,
     windowed_sketch_sink,
 )
@@ -8,6 +9,7 @@ from .stream import (
 __all__ = [
     "foreach_batch_sketch_sink",
     "read_sketch_table",
+    "stateful_sessions",
     "stateful_sketch_counts",
     "windowed_sketch_sink",
 ]

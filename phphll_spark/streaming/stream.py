@@ -103,6 +103,86 @@ def windowed_sketch_sink(
     return sink
 
 
+def stateful_sessions(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-based sessionization: ``applyInPandasWithState`` with
+    an EVENT-TIME timeout (the custom stateful operator pattern).
+
+    Sessions closed by an in-stream gap are emitted immediately; the
+    trailing open session per user is held in state and emitted when the
+    watermark passes its end + gap (state.hasTimedOut). Caller must put a
+    ``withWatermark(ts_col, ...)`` upstream. Output one row per closed
+    session: (user, session_start, session_end, n_events).
+    """
+    out_schema = StructType(
+        [
+            StructField(user_col, StringType(), False),
+            StructField("session_start", LongType(), False),  # epoch seconds
+            StructField("session_end", LongType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType(), True),
+            StructField("end", LongType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        user = key_tuple[0]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {user_col: [user], "session_start": [start], "session_end": [end], "n_events": [n]}
+            )
+            return
+        ts = np.sort(
+            np.concatenate(
+                [pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy() for pdf in pdfs]
+            )
+        )
+        if len(ts) == 0:
+            return
+        cur = list(state.get) if state.exists else None
+        closed = []
+        # split this batch's (sorted) timestamps into gap-delimited runs
+        breaks = np.flatnonzero(np.diff(ts) > gap_seconds) + 1
+        runs = np.split(ts, breaks)
+        for run in runs:
+            s, e, n = int(run[0]), int(run[-1]), len(run)
+            if cur is None:
+                cur = [s, e, n]
+            elif s - cur[1] <= gap_seconds:
+                cur = [cur[0], max(cur[1], e), cur[2] + n]
+            else:
+                closed.append(tuple(cur))
+                cur = [s, e, n]
+        state.update(tuple(cur))
+        # close the trailing session when the watermark passes end + gap
+        state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def read_sketch_table(spark, table_dir: str) -> DataFrame:
     with open(os.path.join(table_dir, "_CURRENT")) as f:
         current = f.read().strip()

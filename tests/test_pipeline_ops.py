@@ -243,3 +243,33 @@ def test_ivf_topk_subset_of_probed_and_deterministic(spark):
     # each query must at least find itself (it lives in its own nearest list)
     for q in qvecs:
         assert (q, q) in got
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize emits fixed-size surrogates; frame sampling expands each
+    video row into duration//every_ms frames — shapes and determinism are
+    the real (testable) part, decode stays stubbed."""
+    from phphll_spark.operators import make_fake_media_df, resize_images, sample_frames
+
+    media = make_fake_media_df(spark, 30)
+    resized = resize_images(media, width=8, height=6, fake=True).collect()
+    assert len(resized) == 30
+    assert all(len(r["content"]) == 48 for r in resized)
+    again = resize_images(media.repartition(7), width=8, height=6, fake=True).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in resized} == {
+        r["media_id"]: bytes(r["content"]) for r in again
+    }  # partitioning-independent
+
+    frames = sample_frames(media, every_ms=500, fake=True)
+    got = frames.groupBy("media_id").count().collect()
+    videos = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect() if r["kind"] == "video"}
+    assert {r["media_id"]: r["count"] for r in got} == {
+        mid: max(1, dur // 500) for mid, dur in videos.items()
+    }
+
+
+def test_multimodal_real_decode_raises(spark):
+    from phphll_spark.operators import make_fake_media_df, resize_images
+
+    with pytest.raises(Exception):
+        resize_images(make_fake_media_df(spark, 4), width=4, height=4, fake=False).collect()

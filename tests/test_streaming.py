@@ -128,3 +128,54 @@ def test_windowed_sketch_sink_handles_late_data(spark, tmp_path):
     h0 = HLL(); h0.add([f"u0_{i}" for i in range(50)])   # 0..39 ∪ 35..49
     h1 = HLL(); h1.add([f"u1_{i}" for i in range(60)])   # 0..29 ∪ 20..59
     assert got == {0: h0.count(), 1: h1.count()}
+
+
+def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
+    """Streaming sessionization: an in-stream gap closes a session in the
+    same trigger; an idle user's trailing session closes via event-time
+    TIMEOUT once later batches advance the watermark."""
+    from datetime import datetime, timedelta
+
+    from phphll_spark.streaming import stateful_sessions
+
+    t0 = datetime(2024, 9, 1, 10, 0, 0)
+    sec = lambda s: t0 + timedelta(seconds=s)
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # batch 1: user a has a 2-event session then a >gap jump (closes s1)
+    b1 = [(sec(0), "a"), (sec(60), "a"), (sec(5000), "a"), (sec(10), "b")]
+    # batch 2: b idle; a extends its open session
+    b2 = [(sec(5100), "a")]
+    # batch 3: far-future events push the watermark past everyone's gap
+    b3 = [(sec(100000), "c"), (sec(100010), "c")]
+    for n, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        spark.createDataFrame(rows, "ts timestamp, uid string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / n))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stateful_sessions(stream, "uid", "ts", gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["uid"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    e = lambda s: int(sec(s).timestamp())
+    # a's first session closed by the in-stream gap; a's second and b's only
+    # session closed by watermark timeout after batch 3
+    assert ("a", e(0), e(60), 2) in rows
+    assert ("a", e(5000), e(5100), 2) in rows
+    assert ("b", e(10), e(10), 1) in rows
