@@ -258,13 +258,15 @@ def q_topk_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cms_user_event_counts_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates: per-user event counts from one global
-    CMS vs exact counts; CMS guarantees est ∈ [exact, exact + ε·N]."""
-    from phphll_spark.sketches import cms_point_estimate, cms_sketch
+    CMS vs exact counts; CMS guarantees est ∈ [exact, exact + ε·N].
+
+    N (for the ε·N slack) comes from the sketch itself (cms_total: any row
+    of the matrix sums to the exact item count), so the whole query is one
+    Spark plan — no driver-side ev.count() pre-job (VERDICT r01 #3)."""
+    from phphll_spark.sketches import cms_point_estimate, cms_sketch, cms_total
 
     ev = load_table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("uid"))
-    n_total = ev.count()
     width = 16384
-    slack = math.ceil(math.e / width * n_total)
     sk = cms_sketch(ev, [], "uid", depth=4, width=width)
     probes = (
         ev.groupBy("uid").count().withColumnRenamed("count", "exact_count")
@@ -274,11 +276,12 @@ def q_cms_user_event_counts_bound(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("uid").cast("long").alias("user_id"),
         "exact_count",
         cms_point_estimate(F.col("cms"), F.col("uid")).alias("est"),
+        F.ceil(F.lit(math.e / width) * cms_total(F.col("cms"))).alias("slack"),
     )
     return est.select(
         "user_id",
         "exact_count",
-        ((F.col("est") >= F.col("exact_count")) & (F.col("est") <= F.col("exact_count") + slack)).alias(
+        ((F.col("est") >= F.col("exact_count")) & (F.col("est") <= F.col("exact_count") + F.col("slack"))).alias(
             "within_bound"
         ),
     )
@@ -461,8 +464,20 @@ def q_hll_users_sliding_week_bound(spark: SparkSession, sf_dir: str) -> DataFram
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN vs exact brute force: recall@3 of the
     probed search must reach 2/3 for every query (deterministic: seeded
-    k-means, fixed data)."""
-    from phphll_spark.operators import cosine_topk_bruteforce, ivf_topk, kmeans_centroids
+    k-means, fixed data).
+
+    Scale path (VERDICT r01 #4): the index is MATERIALIZED once as a
+    parquet table partitioned by centroid; probes read only the union of
+    the queries' probe partitions (PartitionFilters at the scan) instead
+    of rescanning the corpus."""
+    import os
+
+    from phphll_spark.operators import (
+        cosine_topk_bruteforce,
+        ivf_build_index,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -472,7 +487,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     centroids = kmeans_centroids(train, 8, seed=42)
-    approx = ivf_topk(emb, qvecs, "vec_id", "embedding", centroids=centroids, n_probe=3, k=3)
+    index_path = os.path.join(
+        "/tmp/phphll_spark_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    ivf_build_index(emb, "vec_id", "embedding", centroids=centroids, path=index_path)
+    approx = ivf_topk_indexed(
+        spark, index_path, qvecs, centroids=centroids, n_probe=3, k=3
+    )
     exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", "vec_id", k=3)
     overlap = (
         approx.select("query_id", "neighbor_id")
@@ -552,12 +573,17 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact quadratic baseline; blocked
-    variant = same op behind a sign-LSH bucket column)."""
-    from phphll_spark.operators import embedding_near_dup_pairs
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH blocking +
+    exact in-candidate verification (no cross join in the plan — VERDICT
+    r01 #4). The DuckDB oracle is the exhaustive quadratic baseline; the
+    auto-tuned table count holds the theoretical miss probability at
+    ≤1e-4 for pairs AT the threshold (higher-sim pairs miss even less),
+    and equality with the quadratic op is also asserted in
+    tests/test_dedup.py."""
+    from phphll_spark.operators import embedding_near_dup_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.5)
+    return embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.5, dim=64)
 
 
 def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,7 +605,7 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from phphll_spark.operators import sign_lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return sign_lsh_buckets(emb, "vec_id", "embedding", num_planes=8).groupBy("bucket").agg(
+    return sign_lsh_buckets(emb, "vec_id", "embedding", num_planes=8, dim=64).groupBy("bucket").agg(
         F.count("*").alias("n_vectors")
     )
 
@@ -613,9 +639,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -626,7 +652,7 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tie-break)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    rev = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    rev = orders.groupBy("o_custkey").agg(_round_half_up(F.sum("o_totalprice"), 2).alias("revenue"))
     joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
         "c_custkey", "c_name", "c_mktsegment", "revenue"
     )
@@ -650,18 +676,37 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-media plumbing: deterministic fake decode over a synthetic
-    media table (no driver table for media; rows-only check)."""
+    media table (no driver table for media; rows-only check).
+
+    The feature vector itself is array<double>, which the driver's
+    canonicalizer cannot sort/hash — export a scalar digest (md5 of the
+    JSON form) + its length so the array path stays exercised end-to-end
+    but the output is canonicalizer-safe (VERDICT r01 root cause #2)."""
     from phphll_spark.operators import extract_features, make_fake_media_df
 
-    return extract_features(make_fake_media_df(spark, 64), dim=8, fake=True)
+    feats = extract_features(make_fake_media_df(spark, 64), dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.md5(F.to_json(F.struct("feature"))).alias("feature_digest"),
+    )
 
 
 def q_minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (murmur-based — rows-only)."""
+    """MinHash signatures (murmur-based — rows-only). The array<long>
+    signature is exported as a scalar digest (xxhash of the array) + its
+    length: the driver's canonicalizer cannot sort/hash list cells
+    (VERDICT r01 root cause #2), and the digest still pins every value."""
     from phphll_spark.functions.similarity import with_minhash
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return with_minhash(docs, "text", num_hashes=32, shingle_k=5).select("doc_id", "minhash")
+    return with_minhash(docs, "text", num_hashes=32, shingle_k=5).select(
+        "doc_id",
+        F.size("minhash").alias("n_hashes"),
+        F.hash("minhash").alias("minhash_digest"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -825,11 +870,16 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY 1
         """,
+        # sub-k rule mirrors Spark char_shingles / the MinHash shingler:
+        # a nonempty doc shorter than k is its own single shingle
         "dedup_minhash_docs": f"""
             WITH sh AS (
               SELECT doc_id,
-                     list_distinct(list_transform(range(1, GREATEST(length({norm}) - 3, 1)),
-                                                  i -> substring({norm}, CAST(i AS INT), 5))) AS s
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN length({norm}) < 5 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 3),
+                                                            i -> substring({norm}, CAST(i AS INT), 5)))
+                     END AS s
               FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -846,8 +896,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": f"""
             WITH sh AS (
               SELECT doc_id, lang || '|' || source AS blk,
-                     list_distinct(list_transform(range(1, GREATEST(length({norm}) - 1, 1)),
-                                                  i -> substring({norm}, CAST(i AS INT), 3))) AS s
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN length({norm}) < 3 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 1),
+                                                            i -> substring({norm}, CAST(i AS INT), 3)))
+                     END AS s
               FROM documents
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -868,12 +921,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT text) AS exact_union, TRUE AS within_bound
             FROM documents WHERE lang IN ('en', 'de')
         """,
+        # NB every SUM over a computed BIGINT is CAST back to BIGINT: DuckDB
+        # SUM(BIGINT) yields HUGEINT, which pandas renders as float64 and
+        # the driver's dtype-sensitive value hash then mismatches Spark's
+        # int64 (VERDICT r01 root cause #1).
         "bpe_token_stats_per_lang": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(list_filter(
+                   CAST(SUM(len(list_filter(
                        regexp_extract_all(coalesce(text,''),
                            '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+)', 1),
-                       t -> trim(t) <> ''))) AS total_bpe_tokens
+                       t -> trim(t) <> ''))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "fingerprint_docs": f"""
@@ -881,24 +938,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_per_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len({tokens})) AS total_tokens,
-                   SUM(length(coalesce(text,''))) AS total_chars
+                   CAST(SUM(len({tokens})) AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(coalesce(text,''))) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "lang_marker_hits": f"""
             SELECT lang,
-                   SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
-                                       t -> t IN ({en_list})))) AS en_hits,
-                   SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
-                                       t -> t IN ({de_list})))) AS de_hits
+                   CAST(SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                            t -> t IN ({en_list})))) AS BIGINT) AS en_hits,
+                   CAST(SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                            t -> t IN ({de_list})))) AS BIGINT) AS de_hits
             FROM documents GROUP BY lang
         """,
         "text_quality_chars_per_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))) AS sum_alpha_chars,
-                   SUM(length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) AS sum_punct_chars,
-                   SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
-                                       t -> t IN ({sw_list})))) AS sum_stopword_tokens
+                   CAST(SUM(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha_chars,
+                   CAST(SUM(length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) AS BIGINT) AS sum_punct_chars,
+                   CAST(SUM(len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                            t -> t IN ({sw_list})))) AS BIGINT) AS sum_stopword_tokens
             FROM documents GROUP BY lang
         """,
         "quality_score_docs": f"""
@@ -1014,8 +1071,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_s
               FROM s GROUP BY user_id, session_id
             )
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
-                   SUM(span_s) AS total_span_s
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(SUM(span_s) AS BIGINT) AS total_span_s
             FROM per GROUP BY user_id
         """,
         "daily_active_users": """
@@ -1023,11 +1081,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
             FROM events GROUP BY 1
         """,
+        # FLOOR(x*100 + 0.5)/100 on both sides: Spark F.round (BigDecimal
+        # HALF_UP) and DuckDB ROUND disagree on doubles like
+        # 0.42374999999999996; floor-of-scaled is bit-identical IEEE.
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1038,7 +1099,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey, c_name, c_mktsegment, revenue,
                      ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
               FROM (
-                SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+                SELECT o_custkey, FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue
                 FROM orders GROUP BY o_custkey
               ) r JOIN customer ON o_custkey = c_custkey
             ) WHERE rk <= 10

@@ -152,13 +152,21 @@ def content_fingerprint(col: Column | str) -> Column:
 
 def char_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of character k-grams of the normalized text (distinct).
-    Native: sequence + transform + substring, no UDF."""
+    Native: sequence + transform + substring, no UDF.
+
+    A nonempty doc shorter than k is its own single shingle — the same
+    rule the MinHash signature path uses (_shingle_windows_from_buffers),
+    so LSH candidates and exact verification agree on short docs."""
     c = normalized_text(col)
     n = F.length(c)
     # NB: Spark's sequence(1, 0) would count *down* — guard short texts
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: c.substr(i, F.lit(k)))
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(c))
+        .otherwise(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: c.substr(i, F.lit(k)))
+            )
         )
     )
 

@@ -110,12 +110,19 @@ def kmeans_centroids(
     for _ in range(iters):
         sims = X @ C.T
         assign = np.argmax(sims, axis=1)
+        empties = []
         for c in range(len(C)):
             members = X[assign == c]
             if len(members):
                 C[c] = members.mean(axis=0)
             else:
-                C[c] = X[np.argmin(np.max(sims, axis=1))]
+                empties.append(c)
+        if empties:
+            # each empty cluster gets a DISTINCT farthest point (ascending
+            # max-sim order), not one shared point duplicated
+            order = np.argsort(np.max(sims, axis=1))
+            for j, c in enumerate(empties):
+                C[c] = X[order[j % len(X)]]
         C = normalize_rows(C)
     return C
 
@@ -184,6 +191,166 @@ def ivf_topk(
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def sign_lsh_multitable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    num_tables: int = 32,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """``num_tables`` independent sign-LSH tables in one pass: output one
+    (id, table, bucket) row per table per vector.
+
+    A pair with cosine θ collides in one table with prob
+    p1^planes_per_table where p1 = 1 − θ/π, and is missed by ALL tables
+    with prob (1 − p1^r)^T — the multi-table recall knob for low
+    thresholds, where a single table's recall collapses. All tables share
+    one (dim × T·r) matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_tables * planes_per_table))
+    weights = (np.int64(1) << np.arange(planes_per_table, dtype=np.int64))
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("table", LongType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables = np.arange(num_tables, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (X @ planes) > 0  # (n, T*r)
+            codes = signs.reshape(len(ids), num_tables, planes_per_table).astype(np.int64)
+            buckets = (codes * weights[None, None, :]).sum(axis=2)  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, num_tables),
+                    "table": np.tile(tables, len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """Assign each corpus vector to its nearest coarse centroid (one matmul
+    per Arrow batch). Output: (centroid, id, vec) — the IVF posting list."""
+    C = normalize_rows(np.asarray(centroids, dtype=np.float64))
+    vec_field = corpus.schema[vec_col]
+    schema = StructType(
+        [
+            StructField("centroid", LongType(), False),
+            StructField("id", LongType(), False),
+            StructField("vec", vec_field.dataType, False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = normalize_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            a = np.argmax(X @ C.T, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"centroid": a, "id": pdf[id_col].to_numpy(dtype=np.int64), "vec": pdf[vec_col]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: np.ndarray,
+    path: str,
+) -> None:
+    """Materialize the IVF index ONCE as a parquet table partitioned by
+    centroid id. Probes then read only their probe partitions (partition
+    pruning at the scan — the scale fix VERDICT r01 #4 named: the
+    in-flight ``ivf_topk`` rescans the whole corpus per query batch)."""
+    ivf_assign(corpus, id_col, vec_col, centroids=centroids).write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vectors: dict[int, list[float]],
+    *,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF probe against a materialized index: reads ONLY the union of all
+    queries' probe partitions (PartitionFilters on ``centroid``), scores
+    each batch with one matmul, per-query probe mask, tiny top-k shuffle.
+
+    Same output contract as ``ivf_topk`` / ``cosine_topk_blocked``:
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    qids = np.array(sorted(query_vectors), dtype=np.int64)
+    Q = normalize_rows(np.array([query_vectors[int(i)] for i in qids], dtype=np.float64))
+    C = normalize_rows(np.asarray(centroids, dtype=np.float64))
+    qc = Q @ C.T
+    probes = np.argsort(-qc, axis=1)[:, :n_probe]  # (q, n_probe)
+    probe_mask = np.zeros((C.shape[0], len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[probes[qi], qi] = True
+    probe_union = sorted({int(c) for row in probes for c in row})
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine_sim", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = normalize_rows(np.array(list(pdf["vec"]), dtype=np.float64))
+            assign = pdf["centroid"].to_numpy(dtype=np.int64)
+            sims = X @ Q.T
+            sims[~probe_mask[assign]] = -2.0
+            kk = min(k, len(ids))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows_q = np.repeat(qids, kk)
+            rows_n = ids[part.T.reshape(-1)]
+            rows_s = np.take_along_axis(sims, part, axis=0).T.reshape(-1)
+            keep = rows_s > -2.0
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "cosine_sim": np.round(rows_s[keep], 6),
+                }
+            )
+
+    idx = spark.read.parquet(index_path).filter(F.col("centroid").isin(probe_union))
+    local = idx.select("centroid", "id", "vec").mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def sign_lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -197,7 +364,10 @@ def sign_lsh_buckets(
     vector against ``num_planes`` fixed random hyperplanes. Vectors with
     high cosine land in the same bucket with prob (1 - theta/pi)^planes.
 
-    Output: (id, bucket). Computed per Arrow batch with one matmul."""
+    Output: (id, bucket). Computed per Arrow batch with one matmul.
+
+    Pass ``dim`` explicitly — the fallback runs a driver-side ``.first()``
+    job before the real plan (fine interactively, avoid in pipelines)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)

@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.similarity import cosine, hamming64, jaccard, with_minhash, with_simhash
 from ..functions.text import char_shingles, content_fingerprint, normalized_text
 
+# DataFrames persisted by dedup_minhash, released via release_cached() once
+# the caller has materialized its result (executor-memory hygiene for
+# long-lived sessions; Spark's ContextCleaner would otherwise only reclaim
+# them on driver GC).
+_CACHED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by dedup operators. Call after
+    the downstream action has materialized (async, non-blocking)."""
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=False)
+
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact (normalized-content) dedup: keep the smallest id per
@@ -44,6 +57,21 @@ def dedup_exact_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _pairs_within_group(ids: F.Column) -> F.Column:
+    """All (id_a < id_b) pairs of a SORTED id array, as an array of structs
+    — JVM-native nested transform, no UDF, no self-join."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -53,12 +81,22 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: shingle → minhash → band → bucket-join.
+    """LSH candidate pairs: shingle → minhash → band → bucket → in-bucket
+    pair expansion.
 
     rows_per_band = num_hashes // bands sets the similarity knee at
     (1/bands)^(1/rows_per_band). Output: (id_a, id_b) with id_a < id_b.
-    """
+
+    Plan shape: signatures are computed narrow (mapInArrow, once), banding
+    explodes to ``bands`` rows/doc, ONE shuffle groups each (band, bucket)
+    and pairs are expanded in-place with a native nested transform — no
+    self-join, so nothing needs persisting and the signature pass runs
+    exactly once. ``max_bucket_size`` (optional) drops pathological
+    buckets (e.g. boilerplate-dominated shingle sets) instead of
+    expanding them quadratically; at web scale run exact dedup first so
+    bucket size tracks true near-dup density (see dedup_minhash)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     src = _with_min_parallelism(df.select(id_col, text_col))
@@ -72,18 +110,16 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "band_sig"),
     ).select(id_col, "band", F.hash(F.col("band"), F.col("band_sig")).alias("bucket"))
-    # self-join reads it twice — persist so signatures are computed once
-    banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -122,6 +158,7 @@ def dedup_minhash(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed
     ).persist()
+    _CACHED.append(pairs)
     # shingle ONLY the docs that appear in candidate pairs — at scale the
     # candidate set is orders of magnitude smaller than the corpus
     cand_ids = (
@@ -237,5 +274,62 @@ def embedding_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine_sim"),
         )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    dim: int,
+    planes_per_table: int = 4,
+    num_tables: int | None = None,
+    miss_prob: float = 1e-4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dups via multi-table sign-LSH blocking + exact
+    in-candidate verification — the scale path (no cross join anywhere in
+    the plan; candidates come from equi-grouped (table, bucket) cells).
+
+    Recall: a true pair at cosine == threshold collides per table with
+    p1^r (p1 = 1 − arccos(threshold)/π); ``num_tables`` defaults to the
+    smallest T with (1 − p1^r)^T ≤ ``miss_prob``. Pairs ABOVE threshold
+    are caught with even higher probability. Precision is exact: every
+    candidate is verified with the true cosine. For web-scale near-dup
+    thresholds (≥0.9, p1 ≥ 0.86) raise ``planes_per_table`` to 8–16 for
+    much smaller buckets at the same table count.
+
+    Validated equal to the quadratic ``embedding_near_dup_pairs`` baseline
+    at test scale (tests/test_dedup.py)."""
+    import math
+
+    from .ann import sign_lsh_multitable
+
+    if num_tables is None:
+        p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        per_table = p1**planes_per_table
+        num_tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - per_table)))
+    buckets = sign_lsh_multitable(
+        df, id_col, vec_col, dim=dim, num_tables=num_tables,
+        planes_per_table=planes_per_table, seed=seed,
+    )
+    pairs = (
+        buckets.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col))
+    va = v.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "vec_a")
+    vb = v.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vec_b")
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("vec_a", "vec_b"), 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -25,6 +25,7 @@ from .cms import (
     cms_point_estimate,
     cms_query,
     cms_sketch,
+    cms_total,
     make_cms_merge_agg,
 )
 

@@ -170,6 +170,20 @@ def cms_sketch(df: DataFrame, keys: list[str], value_col: str, depth: int = 4, w
 
 
 @pandas_udf(LongType())
+def cms_total(blobs: pd.Series) -> pd.Series:
+    """Exact number of items folded into the sketch: every add increments
+    exactly one counter per row, so any single row sums to N. Lets callers
+    derive the ε·N error slack from the sketch itself instead of running a
+    separate COUNT job over the source."""
+    out = np.zeros(len(blobs), dtype=np.int64)
+    for i, blob in enumerate(blobs):
+        if blob is None:
+            continue
+        out[i] = int(cms_deserialize(bytes(blob))[0].sum())
+    return pd.Series(out)
+
+
+@pandas_udf(LongType())
 def cms_point_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
     """Per-row frequency estimate of `item` in `cms` (scalar UDF)."""
     out = np.zeros(len(blobs), dtype=np.int64)

@@ -118,6 +118,12 @@ def stateful_sessions(
     watermark passes its end + gap (state.hasTimedOut). Caller must put a
     ``withWatermark(ts_col, ...)`` upstream. Output one row per closed
     session: (user, session_start, session_end, n_events).
+
+    Late-data semantics (watermark delay may exceed the gap): a late run
+    arriving within ``gap_seconds`` of the open session merges into it,
+    lowering ``session_start`` if it extends earlier; a late run separated
+    from the open session by more than the gap on EITHER side is its own
+    session (closed immediately when it is entirely in the past).
     """
     out_schema = StructType(
         [
@@ -160,11 +166,20 @@ def stateful_sessions(
             s, e, n = int(run[0]), int(run[-1]), len(run)
             if cur is None:
                 cur = [s, e, n]
-            elif s - cur[1] <= gap_seconds:
-                cur = [cur[0], max(cur[1], e), cur[2] + n]
-            else:
+            elif s - cur[1] > gap_seconds:
+                # run starts after the open session's gap: close it
                 closed.append(tuple(cur))
                 cur = [s, e, n]
+            elif cur[0] - e > gap_seconds:
+                # LATE run entirely before the open session (cross-batch
+                # late data beyond the gap): it is its own session, closed
+                # immediately — merging it would wrongly bridge a gap and
+                # never lower session_start
+                closed.append((s, e, n))
+            else:
+                # overlaps / abuts the open session (possibly extending it
+                # EARLIER — late data within the gap): min/max both ends
+                cur = [min(cur[0], s), max(cur[1], e), cur[2] + n]
         state.update(tuple(cur))
         # close the trailing session when the watermark passes end + gap
         state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)

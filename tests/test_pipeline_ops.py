@@ -273,3 +273,98 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(Exception):
         resize_images(make_fake_media_df(spark, 4), width=4, height=4, fake=False).collect()
+
+
+def test_embedding_near_dup_blocked_matches_quadratic(spark):
+    """The LSH-blocked near-dup path must find exactly the pairs the exact
+    quadratic baseline finds (auto-tuned table count holds the miss
+    probability at <=1e-4 at the threshold; seeded, so deterministic)."""
+    from phphll_spark.operators import embedding_near_dup_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.5).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_blocked(
+            emb, "vec_id", "embedding", threshold=0.5, dim=64
+        ).collect()
+    }
+    assert blocked == exact and len(exact) >= 1
+    # planted high-sim pairs (the realistic dedup regime): same equality
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, base[i].tolist()))
+        rows.append((2 * i + 1, (base[i] + rng.standard_normal(16) * 0.05).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact2 = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.98).collect()
+    }
+    blocked2 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_blocked(
+            df, "vec_id", "embedding", threshold=0.98, dim=16, planes_per_table=8
+        ).collect()
+    }
+    assert blocked2 == exact2
+
+
+def test_dedup_release_cached_unpersists(spark, neardup_docs):
+    """dedup_minhash persists its candidate pairs; release_cached() must
+    leave no RDD cached afterwards (executor-memory hygiene)."""
+    from phphll_spark.operators import release_cached
+
+    dedup_minhash(neardup_docs, "doc_id", "text", threshold=0.8).collect()
+    release_cached()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_char_shingles_subk_self_shingle(spark):
+    """A nonempty doc shorter than k is its own single shingle — the same
+    rule the MinHash shingler uses, mirrored in the DuckDB oracles."""
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, ""), (2, None), (3, "abcdef")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", T.char_shingles("text", 5).alias("s")).collect()}
+    assert rows[0] == ["abc"]
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["abcde", "bcdef"]
+    # identical sub-k docs are a jaccard-1.0 pair end to end
+    two = spark.createDataFrame([(0, "abc"), (1, "abc")], "doc_id long, text string")
+    got = ngram_jaccard_pairs(two, "doc_id", "text", shingle_k=5, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in got] == [(0, 1, 1.0)]
+
+
+def test_kmeans_empty_cluster_reseed_distinct():
+    """Empty clusters must be reseeded with DISTINCT farthest points, not
+    one shared point duplicated into every empty slot."""
+    from phphll_spark.operators import kmeans_centroids
+
+    # 3 tight clusters, ask for 8 centroids -> several will start/go empty
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((3, 8)) * 10
+    X = np.concatenate([c + rng.standard_normal((40, 8)) * 0.01 for c in centers])
+    C = kmeans_centroids(X, 8, seed=1, iters=3)
+    # the old bug seeded every empty cluster with the SAME point, leaving
+    # bitwise-identical centroid rows; distinct reseeds may still be
+    # near-parallel (tight clusters) but never identical
+    for i in range(len(C)):
+        for j in range(i + 1, len(C)):
+            assert not np.array_equal(C[i], C[j]), (i, j)
+
+
+def test_cms_total_matches_exact_count(spark):
+    from phphll_spark.sketches import cms_sketch, cms_total
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    n = ev.count()
+    sk = cms_sketch(ev, [], "uid", depth=4, width=1024)
+    got = sk.select(cms_total(F.col("cms")).alias("n")).collect()[0]["n"]
+    assert got == n

@@ -106,3 +106,52 @@ def test_dedup_exact_native_partial_agg(spark):
     plan = _plan(dedup_exact(docs, "doc_id", "text"), "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_embedding_near_dup_blocked_no_cross_join(spark):
+    """The blocked near-dup plan must contain no cartesian/unblocked
+    nested-loop join (VERDICT r01 #4): candidates come from equi-grouped
+    (table, bucket) cells, verification joins only on pair ids."""
+    from phphll_spark.operators import embedding_near_dup_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.5, dim=64)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path_factory):
+    """The materialized IVF index is partitioned by centroid; a probe must
+    read ONLY its probe partitions — visible as PartitionFilters on the
+    scan (VERDICT r01 #4 'Done' criterion)."""
+    import numpy as np
+
+    from phphll_spark.operators import ivf_build_index, ivf_topk_indexed, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = np.array([r["embedding"] for r in emb.limit(256).collect()], dtype=np.float64)
+    centroids = kmeans_centroids(train, 8, seed=42)
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_build_index(emb, "vec_id", "embedding", centroids=centroids, path=path)
+    qvecs = {int(r["vec_id"]): list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 3).collect()}
+    out = ivf_topk_indexed(spark, path, qvecs, centroids=centroids, n_probe=2, k=3)
+    plan = _plan(out)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "centroid" in part[0], plan
+    # and the probe still returns k rows per query
+    counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in counts.values())
+
+
+def test_minhash_candidates_single_shuffle_no_self_join(spark):
+    """Candidate generation groups each (band, bucket) once and expands
+    pairs in-place — no self-join (two scans / extra shuffle) and nothing
+    left persisted."""
+    from phphll_spark.operators import minhash_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
+    plan = _plan(pairs, "simple")
+    assert "Join" not in plan, plan  # pair expansion is a transform, not a join
+    assert "InMemoryTableScan" not in plan  # nothing persisted

@@ -179,3 +179,56 @@ def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
     assert ("a", e(0), e(60), 2) in rows
     assert ("a", e(5000), e(5100), 2) in rows
     assert ("b", e(10), e(10), 1) in rows
+
+
+def test_stateful_sessions_cross_batch_late_data(spark, tmp_path):
+    """Watermark delay LARGER than the gap: a late run within the gap of
+    the open session merges and LOWERS session_start; a late run separated
+    by more than the gap on the early side becomes its own closed session
+    (ADVICE r01: the old merge never lowered session_start and silently
+    bridged gap-separated earlier events)."""
+    from datetime import datetime, timedelta
+
+    from phphll_spark.streaming import stateful_sessions
+
+    t0 = datetime(2024, 9, 1, 0, 0, 0)
+    sec = lambda s: t0 + timedelta(seconds=s)
+    src = tmp_path / "late_in"
+    src.mkdir()
+    # batch 1: open session [10000, 10060]
+    b1 = [(sec(10000), "a"), (sec(10060), "a")]
+    # batch 2 (late, allowed by the 2h watermark delay):
+    #   5000 — >gap before the open session: its own session
+    #   9000 — within gap of session start: merges, start lowers to 9000
+    b2 = [(sec(5000), "a"), (sec(9000), "a")]
+    # batch 3: far future pushes the watermark past everything
+    b3 = [(sec(100000), "c"), (sec(100010), "c")]
+    for n, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        spark.createDataFrame(rows, "ts timestamp, uid string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / n))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "2 hours")
+    )
+    out = stateful_sessions(stream, "uid", "ts", gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["uid"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_sessions_out WHERE uid = 'a'").collect()
+    }
+    e = lambda s: int(sec(s).timestamp())
+    assert ("a", e(5000), e(5000), 1) in rows
+    assert ("a", e(9000), e(10060), 3) in rows
+    assert len(rows) == 2

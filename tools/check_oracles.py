@@ -3,6 +3,11 @@
 on Spark and oracle_sql()[name] on DuckDB over the same parquet tables at
 sf=0.01, compare row count + column names + order-insensitive values.
 
+Mirrors the driver's PANDAS-DTYPE-SENSITIVE canonicalization (VERDICT r01):
+both sides are fetched as pandas frames, so a DuckDB HUGEINT rendered as
+float64 mismatches a Spark int64 here exactly like it does at the gate, and
+array-typed cells are flagged (the driver's sort_values crashes on them).
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -14,33 +19,58 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
 
 def _norm_value(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
-        return f"bool:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "float:nan"
-        return f"float:{v!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return f"float:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
     if isinstance(v, (bytes, bytearray)):
         return f"bytes:{bytes(v).hex()}"
+    if isinstance(v, np.datetime64):
+        return f"ts:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.datetime):
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
-        return f"date:{v.isoformat()}"
-    if isinstance(v, list):
+        # DuckDB DATE surfaces as midnight datetime64 in pandas; Spark
+        # DateType stays datetime.date — unify on the timestamp form
+        return f"ts:{v.isoformat()}T00:00:00"
+    if isinstance(v, (list, np.ndarray)):
+        # the driver's canonicalizer CRASHES on these — callers check first
         return "list:[" + ",".join(_norm_value(x) for x in v) + "]"
     return f"{type(v).__name__}:{v}"
 
 
-def _rows_to_canonical(cols: list[str], rows: list[tuple]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(_norm_value(r[i]) for i in order) for r in rows]
+def _array_cols(pdf: pd.DataFrame) -> list[str]:
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf):
+            first = pdf[c].iloc[0]
+            if isinstance(first, (list, np.ndarray)):
+                bad.append(c)
+    return bad
+
+
+def _frame_to_canonical(pdf: pd.DataFrame) -> list[str]:
+    cols = sorted(pdf.columns)
+    out = []
+    arrays = [pdf[c].to_numpy() for c in cols]
+    for i in range(len(pdf)):
+        out.append("|".join(_norm_value(a[i]) for a in arrays))
     return sorted(out)
 
 
@@ -74,27 +104,29 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        spdf = sdf.toPandas()
         spark_s = time.time() - t0
+        arr_cols = _array_cols(spdf)
+        if arr_cols:
+            failures.append((name, f"ARRAY-TYPED output columns {arr_cols} — driver canonicalizer crashes on these"))
+            print(f"✗ {name:34s} ARRAY columns {arr_cols} (driver would crash)")
+            continue
         if name not in oracles:
-            print(f"  {name:34s} rows-only: {len(srows)} rows ({spark_s:.1f}s spark)")
-            if len(srows) == 0:
+            print(f"  {name:34s} rows-only: {len(spdf)} rows ({spark_s:.1f}s spark)")
+            if len(spdf) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         t1 = time.time()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        opdf = con.execute(oracles[name]).df()
         duck_s = time.time() - t1
         status = []
-        if sorted(scols) != sorted(ocols):
-            status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(ocols)}")
-        if len(srows) != len(orows):
-            status.append(f"ROWCOUNT spark={len(srows)} duck={len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            status.append(f"SCHEMA spark={sorted(spdf.columns)} duck={sorted(opdf.columns)}")
+        if len(spdf) != len(opdf):
+            status.append(f"ROWCOUNT spark={len(spdf)} duck={len(opdf)}")
         if not status:
-            a = _rows_to_canonical(scols, srows)
-            b = _rows_to_canonical(ocols, orows)
+            a = _frame_to_canonical(spdf)
+            b = _frame_to_canonical(opdf)
             if a != b:
                 diff_a = [x for x in a if x not in set(b)][:3]
                 diff_b = [x for x in b if x not in set(a)][:3]
@@ -103,7 +135,7 @@ def main() -> int:
             failures.append((name, "; ".join(status)))
             print(f"✗ {name:34s} {'; '.join(status)[:220]}")
         else:
-            print(f"✓ {name:34s} {len(srows)} rows ({spark_s:.1f}s spark, {duck_s:.1f}s duck)")
+            print(f"✓ {name:34s} {len(spdf)} rows ({spark_s:.1f}s spark, {duck_s:.1f}s duck)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES:")
