@@ -100,12 +100,15 @@ def main() -> None:
     timings["pages_ingest_distinct_texts"] = round(text_s, 3)
     text_docs_per_sec = int(PAGES_ROWS / text_s)
 
+    from phphll_spark.operators import release_cached
+
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         n = df.count()  # materialize
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
+        release_cached()  # drop dedup LSH intermediates between queries
 
     total = round(sum(timings.values()), 3)
     print(
