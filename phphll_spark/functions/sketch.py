@@ -43,6 +43,12 @@ from pyspark.sql.types import (
 from .. import codec, kernel
 from ..kernel import HLL_P_DEFAULT
 
+# In-flight sparse groups promote to a raw 2^p buffer past this many set
+# registers — the accumulator analog of the reference's 3000-byte sparse
+# cap (hyperloglog.c:812-813): beyond it the raw buffer is both smaller
+# and faster to update.
+_SPARSE_PROMOTE_ENTRIES = 3072
+
 
 # ---------------------------------------------------------------------------
 # Arrow-buffer extraction: pd.Series[str|bytes] -> (uint8 data, int64 offsets)
@@ -158,14 +164,20 @@ def hll_partial_sketches(
     ~300 B web texts).
 
     Output schema: ``keys... , sketch binary`` — one row per (input
-    partition, group). State per partition is ``n_groups_in_partition x 2^p``
-    bytes; for very high-cardinality keys pre-``repartition(keys)`` so each
-    partition only holds its own groups (see hll_count_distinct).
+    partition, group). In-flight state is SPARSE per group (sorted idx +
+    rho arrays, the distributed analog of the reference's sparse encoding)
+    until a group exceeds ``_SPARSE_PROMOTE_ENTRIES`` set registers, then
+    it promotes to a 2^p raw buffer — so a partition holding many tiny
+    groups (high-cardinality keys, rollups) costs O(set registers) per
+    group, not 16 KB each. Densifying is max-merge-exact, so estimates
+    are bit-identical to the always-dense path (tested).
     """
     key_fields = [df.schema[k] for k in keys]
     out_schema = StructType(list(key_fields) + [StructField("sketch", BinaryType(), False)])
     arrow_schema = to_arrow_schema(out_schema)
     m = kernel.m_for_p(p)
+    empty_i = np.empty(0, dtype=np.int64)
+    empty_r = np.empty(0, dtype=np.uint8)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict = {}
@@ -175,6 +187,7 @@ def hll_partial_sketches(
             varr = rb.column(rb.schema.get_field_index(value_col))
             idx, rho, valid = _arrow_idx_rho(varr, p)
             if not keys:
+                # single group: go straight to dense (it will fill anyway)
                 regs = acc.setdefault((), np.zeros(m, dtype=np.uint8))
                 if len(idx):
                     kernel.update_registers(regs, idx, rho)
@@ -184,7 +197,7 @@ def hll_partial_sketches(
             # its values are NULL (→ empty sketch, count 0)
             for row in uniques_rows:
                 if row not in acc:
-                    acc[row] = np.zeros(m, dtype=np.uint8)
+                    acc[row] = (empty_i, empty_r)
             codes = codes_full[valid] if valid is not None else codes_full
             if len(idx) == 0:
                 continue
@@ -195,12 +208,33 @@ def hll_partial_sketches(
             ends = np.concatenate((bounds, [len(sc)]))
             si, sr = idx[order], rho[order]
             for s, e in zip(starts.tolist(), ends.tolist()):
-                np.maximum.at(acc[uniques_rows[sc[s]]], si[s:e], sr[s:e])
+                row = uniques_rows[sc[s]]
+                cur = acc[row]
+                if isinstance(cur, np.ndarray):  # already dense
+                    np.maximum.at(cur, si[s:e], sr[s:e])
+                    continue
+                if e - s > _SPARSE_PROMOTE_ENTRIES:
+                    # heavy group (big batch slice): densify now — a raw
+                    # buffer is cheaper than sorting large sparse merges
+                    regs = kernel.sparse_to_registers(cur[0], cur[1], p)
+                    np.maximum.at(regs, si[s:e], sr[s:e])
+                    acc[row] = regs
+                    continue
+                ni, nr = kernel.sparse_update(cur[0], cur[1], si[s:e], sr[s:e])
+                if len(ni) > _SPARSE_PROMOTE_ENTRIES:
+                    acc[row] = kernel.sparse_to_registers(ni, nr, p)
+                else:
+                    acc[row] = (ni, nr)
         if not acc:
             return
         rows = list(acc.keys())
         out = {k: [r[ki] for r in rows] for ki, k in enumerate(keys)}
-        out["sketch"] = [codec.serialize(acc[r]) for r in rows]
+        out["sketch"] = [
+            codec.serialize(
+                v if isinstance(v := acc[r], np.ndarray) else kernel.sparse_to_registers(v[0], v[1], p)
+            )
+            for r in rows
+        ]
         yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
     return df.select(*keys, value_col).mapInArrow(fold, schema=out_schema)

@@ -163,6 +163,36 @@ def update_registers(regs: np.ndarray, idx: np.ndarray, rho: np.ndarray) -> None
     np.maximum.at(regs, idx, rho)
 
 
+def sparse_update(
+    idx_cur: np.ndarray, rho_cur: np.ndarray, idx_new: np.ndarray, rho_new: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold a batch of (idx, rho) observations into a SPARSE register set
+    (sorted unique idx + per-idx max rho) — the in-flight analog of the
+    reference's sparse encoding (hyperloglog.c:632-876): low-cardinality
+    groups cost O(set registers), not a 2^p raw buffer each.
+
+    Returns the new (idx, rho) pair; same max-merge semantics as
+    ``update_registers``, so densifying at any point yields bit-identical
+    registers."""
+    mi = np.concatenate([idx_cur, idx_new])
+    mr = np.concatenate([rho_cur, rho_new])
+    if len(mi) == 0:
+        return mi, mr
+    order = np.argsort(mi, kind="stable")
+    si, sr = mi[order], mr[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(si)) + 1))
+    return si[starts], np.maximum.reduceat(sr, starts)
+
+
+def sparse_to_registers(idx: np.ndarray, rho: np.ndarray, p: int = HLL_P_DEFAULT) -> np.ndarray:
+    """Densify a sparse (idx, rho) register set into a raw register array
+    (sparse-to-dense promotion, hyperloglog.c:897-959)."""
+    regs = empty_registers(p)
+    if len(idx):
+        regs[idx] = rho
+    return regs
+
+
 def add_bytes(regs: np.ndarray, data: np.ndarray, offsets: np.ndarray, p: int | None = None) -> None:
     """Hash + fold a batch of byte strings into ``regs`` (raw layout)."""
     if p is None:

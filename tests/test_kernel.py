@@ -234,3 +234,33 @@ def test_configurable_precision():
         est = kernel.estimate(regs)
         bound = math.ceil(6 * kernel.relative_error_bound(p) * n) + 3
         assert abs(est - n) <= bound, (p, est)
+
+
+def test_sparse_update_matches_dense_registers():
+    """Sparse in-flight accumulation (sorted idx + max rho) densifies to
+    bit-identical registers vs the raw np.maximum.at path, under arbitrary
+    batch splits (the merge-associativity property the fold relies on)."""
+    import numpy as np
+
+    from phphll_spark import kernel
+
+    rng = np.random.default_rng(7)
+    p = 14
+    idx = rng.integers(0, kernel.m_for_p(p), size=5000).astype(np.int64)
+    rho = rng.integers(1, 51, size=5000).astype(np.uint8)
+
+    dense = kernel.empty_registers(p)
+    kernel.update_registers(dense, idx, rho)
+
+    si = np.empty(0, dtype=np.int64)
+    sr = np.empty(0, dtype=np.uint8)
+    for lo in range(0, 5000, 613):  # uneven batch splits
+        si, sr = kernel.sparse_update(si, sr, idx[lo : lo + 613], rho[lo : lo + 613])
+    assert np.array_equal(kernel.sparse_to_registers(si, sr, p), dense)
+    # idx stays sorted unique
+    assert np.all(np.diff(si) > 0)
+    # empty-into-empty is a no-op
+    e_i, e_r = kernel.sparse_update(
+        np.empty(0, np.int64), np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.uint8)
+    )
+    assert len(e_i) == 0 and len(e_r) == 0

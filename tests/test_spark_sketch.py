@@ -151,3 +151,38 @@ def test_int_column_elements(spark):
     h = HLL()
     h.add([str(i % 123) for i in range(1000)])
     assert est == h.count()
+
+
+def test_partial_sketches_sparse_accumulator_equivalence(spark):
+    """Grouped partial sketches (sparse in-flight accumulator) must produce
+    byte-identical serialized sketches to single-machine dense folding, for
+    both tiny groups (stay sparse) and a large group (promotes in-flight)."""
+    import numpy as np
+
+    from phphll_spark import codec, kernel
+    from phphll_spark.functions import hll_count_distinct
+    from phphll_spark.functions.sketch import _SPARSE_PROMOTE_ENTRIES, hll_partial_sketches
+
+    rows = []
+    for g in range(40):  # tiny groups: a handful of registers each
+        for i in range(5):
+            rows.append((f"g{g}", f"v{g}_{i}"))
+    big_n = _SPARSE_PROMOTE_ENTRIES * 3  # forces in-flight promotion
+    rows += [("big", f"x{i}") for i in range(big_n)]
+    df = spark.createDataFrame(rows, "k string, v string").coalesce(1)
+
+    got = {
+        r["k"]: bytes(r["sketch"]) for r in hll_partial_sketches(df, ["k"], "v").collect()
+    }
+    # reference: dense accumulation per group
+    by_group: dict = {}
+    for k, v in rows:
+        by_group.setdefault(k, []).append(v.encode())
+    for k, vals in by_group.items():
+        regs = kernel.empty_registers()
+        data, offsets = kernel.bytes_to_buffers(vals)
+        kernel.add_bytes(regs, data, offsets)
+        assert got[k] == codec.serialize(regs), k
+    # and the end-to-end estimate is exact at these cardinalities
+    est = {r["k"]: r["n"] for r in hll_count_distinct(df, ["k"], "v", alias="n").collect()}
+    assert all(est[f"g{g}"] == 5 for g in range(40))
