@@ -287,6 +287,49 @@ def q_cms_user_event_counts_bound(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_mg_heavy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over event_type: distinct count ≪ capacity,
+    so no decrement ever fires and every summary count is EXACT — directly
+    oracle-comparable to COUNT(*) GROUP BY."""
+    from phphll_spark.sketches import mg_entries, mg_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    sk = mg_sketch(ev, [], "event_type", k=64)
+    return (
+        sk.select(F.explode(mg_entries(F.col("mg"))).alias("event_type", "n_events"))
+        .select("event_type", "n_events")
+    )
+
+
+def q_mg_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MG in the DECREMENT regime (capacity 64 ≪ distinct users): for probe
+    users, est ∈ [exact − N/(k+1), exact] — the published MG bound,
+    exported as a flag (counter values are merge-order-dependent there, so
+    only the bound is deterministic)."""
+    from phphll_spark.sketches import mg_point_estimate, mg_sketch, mg_total
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("uid"))
+    sk = mg_sketch(ev, [], "uid", k=k)
+    probes = (
+        ev.groupBy("uid").count().withColumnRenamed("count", "exact_count")
+        .filter(F.col("uid").cast("long") < 10)
+    )
+    est = probes.crossJoin(F.broadcast(sk)).select(
+        F.col("uid").cast("long").alias("user_id"),
+        "exact_count",
+        mg_point_estimate(F.col("mg"), F.col("uid")).alias("est"),
+        F.floor(mg_total(F.col("mg")) / F.lit(k + 1)).alias("slack"),
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        ((F.col("est") <= F.col("exact_count")) & (F.col("est") >= F.col("exact_count") - F.col("slack"))).alias(
+            "within_bound"
+        ),
+    )
+
+
 def q_tdigest_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest p50/p90 of order totals per priority; export the rank error
     vs the exact CDF (|cdf(est_q) − q| ≤ 0.02, the t-digest guarantee)."""
@@ -740,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_p10_segments_bound": q_hll_p10_segments_bound,
         "hll_users_sliding_week_bound": q_hll_users_sliding_week_bound,
         "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
+        "mg_heavy_event_types": q_mg_heavy_event_types,
+        "mg_heavy_users_bound": q_mg_heavy_users_bound,
         "tdigest_price_quantiles_bound": q_tdigest_price_quantiles_bound,
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
         "bloom_membership_per_segment": q_bloom_membership_per_segment,
@@ -848,6 +893,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 5
         """,
         "cms_user_event_counts_bound": """
+            SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
+            FROM events WHERE user_id < 10 GROUP BY user_id
+        """,
+        "mg_heavy_event_types": """
+            SELECT event_type, COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "mg_heavy_users_bound": """
             SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
             FROM events WHERE user_id < 10 GROUP BY user_id
         """,

@@ -28,6 +28,14 @@ from .cms import (
     cms_total,
     make_cms_merge_agg,
 )
+from .heavyhitters import (
+    make_mg_merge_agg,
+    mg_entries,
+    mg_partial_sketches,
+    mg_point_estimate,
+    mg_sketch,
+    mg_total,
+)
 
 
 def register_sketch_sql_functions(spark) -> None:
@@ -46,10 +54,12 @@ def register_sketch_sql_functions(spark) -> None:
     spark.udf.register("bloom_merge_agg", make_bloom_merge_agg())
     spark.udf.register("tdigest_merge_agg", make_tdigest_merge_agg())
     spark.udf.register("kll_merge_agg", make_kll_merge_agg())
+    spark.udf.register("mg_merge_agg", make_mg_merge_agg())
     spark.udf.register("cms_point_estimate", cms_point_estimate)
     spark.udf.register("bloom_might_contain", bloom_might_contain)
     spark.udf.register("tdigest_quantile", _td_q)
     spark.udf.register("kll_quantile", _kll_q)
+    spark.udf.register("mg_point_estimate", mg_point_estimate)
 
 __all__ = [
     "KLL",
@@ -70,8 +80,15 @@ __all__ = [
     "cms_point_estimate",
     "cms_query",
     "cms_sketch",
+    "cms_total",
     "make_bloom_merge_agg",
     "make_cms_merge_agg",
+    "make_mg_merge_agg",
+    "mg_entries",
+    "mg_partial_sketches",
+    "mg_point_estimate",
+    "mg_sketch",
+    "mg_total",
     "optimal_params",
     "register_sketch_sql_functions",
 ]

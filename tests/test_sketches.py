@@ -199,3 +199,109 @@ def test_register_sketch_sql_functions(spark):
         "SELECT kll_quantile(kll_merge_agg(kll), 0.5) AS p50 FROM kll_parts"
     ).collect()[0]["p50"]
     assert 200.0 <= p50 <= 300.0
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_codec_roundtrip_and_validation():
+    from phphll_spark.sketches.heavyhitters import (
+        InvalidMGError,
+        mg_deserialize,
+        mg_serialize,
+    )
+
+    counts = {b"a": 10, b"bb": 3, b"": 1}
+    blob = mg_serialize(counts, 14, 64)
+    c2, n, k = mg_deserialize(blob)
+    assert c2 == counts and n == 14 and k == 64
+    with pytest.raises(InvalidMGError):
+        mg_deserialize(b"XXXX" + blob[4:])
+    with pytest.raises(InvalidMGError):
+        mg_deserialize(blob[:-1])
+
+
+def test_mg_exact_when_under_capacity():
+    import pandas as pd
+
+    from phphll_spark.sketches.heavyhitters import mg_fold
+
+    rng = np.random.default_rng(3)
+    items = pd.Series(rng.choice([f"t{i}" for i in range(10)], size=5000))
+    counts: dict = {}
+    n = mg_fold(counts, items, k=64)
+    truth = items.value_counts()
+    assert n == 5000
+    assert {key.decode(): c for key, c in counts.items()} == truth.to_dict()
+
+
+def test_mg_bound_under_random_merge_orders():
+    """The published MG guarantee — est ∈ [true − N/(k+1), true] and every
+    item with true > N/(k+1) present — must hold for ANY partition split
+    and merge order (mergeable-summaries property)."""
+    import pandas as pd
+
+    from phphll_spark.sketches.heavyhitters import mg_fold, mg_merge
+
+    rng = np.random.default_rng(11)
+    k = 16
+    # zipf-ish stream: a few heavy items + a long tail
+    pool = [f"h{i}" for i in range(5)] * 200 + [f"t{i}" for i in range(400)]
+    stream = rng.choice(pool, size=8000)
+    truth = pd.Series(stream).value_counts().to_dict()
+    n_total = len(stream)
+    slack = n_total // (k + 1)
+
+    for trial in range(5):
+        # random split into 2-8 parts, random merge order
+        n_parts = int(rng.integers(2, 9))
+        bounds = np.sort(rng.choice(np.arange(1, n_total), size=n_parts - 1, replace=False))
+        parts = np.split(stream, bounds)
+        summaries = []
+        for part in parts:
+            c: dict = {}
+            n = mg_fold(c, pd.Series(part), k)
+            summaries.append((c, n))
+        rng.shuffle(summaries)
+        acc = summaries[0]
+        for s in summaries[1:]:
+            acc = mg_merge(acc, s, k)
+        counts, n = acc
+        assert n == n_total
+        assert len(counts) <= k
+        for key, est in counts.items():
+            t = truth[key.decode()]
+            assert est <= t, (trial, key)
+            assert est >= t - slack, (trial, key)
+        for item, t in truth.items():
+            if t > slack:
+                assert item.encode() in counts, (trial, item)
+
+
+def test_mg_distributed_matches_serial(spark):
+    """Spark fold+merge in the exact regime (distinct ≪ k) equals plain
+    groupBy counts; SQL re-merge of checkpointed summaries agrees."""
+    from phphll_spark.sketches import mg_entries, mg_sketch, register_sketch_sql_functions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_type")
+    truth = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    sk = mg_sketch(ev.repartition(7), [], "event_type", k=64)
+    got = {
+        r["event_type"]: r["n"]
+        for r in sk.select(F.explode(mg_entries(F.col("mg"))).alias("event_type", "n")).collect()
+    }
+    assert got == truth
+    # re-merge partial summaries through the SQL aggregate
+    from phphll_spark.sketches import mg_partial_sketches
+
+    register_sketch_sql_functions(spark)
+    mg_partial_sketches(ev.repartition(5), [], "event_type", k=64).createOrReplaceTempView(
+        "mg_partials"
+    )
+    merged = spark.sql("SELECT mg_merge_agg(mg) AS mg FROM mg_partials")
+    got2 = {
+        r["event_type"]: r["n"]
+        for r in merged.select(F.explode(mg_entries(F.col("mg"))).alias("event_type", "n")).collect()
+    }
+    assert got2 == truth
