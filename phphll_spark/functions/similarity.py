@@ -191,6 +191,59 @@ def with_minhash(
     return df.mapInArrow(gen, schema=schema)
 
 
+def with_hashed_shingles(
+    df: DataFrame,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    out_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Append a sorted-unique ``array<long>`` of murmur64 shingle hashes of
+    the doc's text (mapInArrow, narrow, zero-copy windows over the Arrow
+    buffer — same shingle rule as char_shingles incl. sub-k self-shingle).
+
+    The fast exact-verification representation for near-dup Jaccard: set
+    operations on longs instead of building/distinct-ing millions of JVM
+    substring objects (~10× on ~2 KB docs). Jaccard over these equals
+    string-shingle Jaccard up to 64-bit hash collisions (probability
+    ~n²/2⁶⁵ — negligible at any realistic corpus size, and the LSH
+    candidate stage already relies on the same hashes).
+
+    NB: operates on the RAW bytes of ``text_col``; normalize first (e.g.
+    ``.withColumn(tmp, normalized_text(col))``) when content-identity
+    semantics are wanted — operators/dedup.py does."""
+    import pyarrow as pa
+
+    fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            starts, wlens, counts = _shingle_windows_from_buffers(buf, off, lens, shingle_k)
+            n = rb.num_rows
+            if counts.sum() == 0:
+                uniq = np.empty(0, dtype=np.int64)
+                new_counts = np.zeros(n, dtype=np.int64)
+            else:
+                hashes = kernel.murmur64a_windows(buf, starts, wlens).astype(np.int64)
+                doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+                # sort by (doc, hash) then drop within-doc duplicates
+                order = np.lexsort((hashes, doc_ids))
+                sd, sh = doc_ids[order], hashes[order]
+                keep = np.concatenate(([True], (np.diff(sd) != 0) | (np.diff(sh) != 0)))
+                sd, uniq = sd[keep], sh[keep]
+                new_counts = np.bincount(sd, minlength=n).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(new_counts))).astype(np.int32)
+            col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(uniq))
+            out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
+
+    return df.mapInArrow(gen, schema=schema)
+
+
 def with_simhash(df: DataFrame, text_col: str, *, shingle_k: int = 4, out_col: str = "simhash") -> DataFrame:
     """Append a 64-bit SimHash fingerprint column (narrow, vectorized)."""
     import pyarrow as pa

@@ -20,7 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.similarity import cosine, hamming64, jaccard, with_minhash, with_simhash
+from ..functions.similarity import (
+    cosine,
+    hamming64,
+    jaccard,
+    with_hashed_shingles,
+    with_minhash,
+    with_simhash,
+)
 from ..functions.text import char_shingles, content_fingerprint, normalized_text
 
 # DataFrames persisted by dedup_minhash, released via release_cached() once
@@ -167,7 +174,13 @@ def dedup_minhash(
         .distinct()
     )
     src = _with_min_parallelism(df.select(id_col, text_col)).join(cand_ids, id_col, "left_semi")
-    sh = src.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    # exact verification on hashed shingle SETS (murmur64 of normalized
+    # windows, sorted unique, Arrow-native) — same Jaccard as string
+    # shingles up to 64-bit collisions, ~10x faster than building JVM
+    # substring arrays per doc (validated vs char_shingles in tests)
+    sh = with_hashed_shingles(
+        src.withColumn("_norm", normalized_text(text_col)), "_norm", shingle_k=shingle_k
+    ).select(F.col(id_col), F.col("shingle_hashes").alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

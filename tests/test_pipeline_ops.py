@@ -368,3 +368,56 @@ def test_cms_total_matches_exact_count(spark):
     sk = cms_sketch(ev, [], "uid", depth=4, width=1024)
     got = sk.select(cms_total(F.col("cms")).alias("n")).collect()[0]["n"]
     assert got == n
+
+
+def test_hashed_shingles_jaccard_matches_string_shingles(spark, neardup_docs):
+    """Jaccard over hashed shingle sets must equal Jaccard over string
+    shingle sets on real-ish data (collision-free here), including the
+    sub-k self-shingle rule."""
+    from phphll_spark.functions.similarity import with_hashed_shingles
+    from phphll_spark.functions.text import normalized_text
+
+    docs = neardup_docs.union(
+        spark.createDataFrame([(1000, "abc"), (1001, "abc"), (1002, "")], "doc_id long, text string")
+    )
+    k = 5
+    strings = docs.select(
+        "doc_id", T.char_shingles("text", k).alias("s")
+    )
+    hashed = with_hashed_shingles(
+        docs.withColumn("_n", normalized_text("text")), "_n", shingle_k=k
+    ).select("doc_id", F.col("shingle_hashes").alias("s"))
+    ns = {r["doc_id"]: len(set(r["s"])) for r in strings.collect()}
+    nh = {r["doc_id"]: len(r["s"]) for r in hashed.collect()}
+    assert ns == nh  # same set sizes doc by doc (incl. self-shingle + empty)
+    # pairwise jaccard agrees
+    def pair_jac(df):
+        a, b = df.alias("a"), df.alias("b")
+        return {
+            (r["ia"], r["ib"]): r["j"]
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("ia"),
+                F.col("b.doc_id").alias("ib"),
+                F.round(jaccard("a.s", "b.s"), 6).alias("j"),
+            )
+            .collect()
+        }
+    assert pair_jac(strings.limit(12)) == pair_jac(hashed.limit(12))
+
+
+def test_dedup_minhash_same_results_with_hashed_verification(spark, neardup_docs):
+    """dedup_minhash end-to-end results are unchanged by the hashed-shingle
+    verification path (planted pairs found, jaccard values identical to the
+    exhaustive string-shingle baseline)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in dedup_minhash(neardup_docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(
+            neardup_docs, "doc_id", "text", shingle_k=5, threshold=0.8
+        ).collect()
+    }
+    assert got == base and len(got) >= 18
