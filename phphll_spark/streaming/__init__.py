@@ -1,5 +1,6 @@
 from .stream import (
     foreach_batch_sketch_sink,
+    foreach_batch_summary_sink,
     read_sketch_table,
     stateful_sessions,
     stateful_sketch_counts,
@@ -8,6 +9,7 @@ from .stream import (
 
 __all__ = [
     "foreach_batch_sketch_sink",
+    "foreach_batch_summary_sink",
     "read_sketch_table",
     "stateful_sessions",
     "stateful_sketch_counts",

@@ -38,29 +38,39 @@ from ..functions.sketch import _batch_idx_rho, hll_partial_sketches, make_hll_me
 from ..kernel import HLL_P_DEFAULT
 
 
-def foreach_batch_sketch_sink(
+def foreach_batch_summary_sink(
     keys: list[str],
-    value_col: str,
     table_dir: str,
-    p: int = HLL_P_DEFAULT,
+    partials_fn,
+    merge_agg_factory,
+    sketch_col: str,
 ):
-    """Returns a foreachBatch function: merges each micro-batch's group
-    sketches into ``table_dir`` (parquet snapshot: data file + _CURRENT
-    pointer swapped atomically)."""
+    """Generic foreachBatch snapshot sink for ANY mergeable summary in the
+    family (HLL / CMS / Bloom / t-digest / KLL / Misra–Gries): compute the
+    micro-batch's partial summaries with ``partials_fn(batch_df)``,
+    re-merge them with the previous snapshot through the family's merge
+    aggregate, and swap the parquet snapshot pointer atomically.
+
+    Mergeability is the whole trick (same as batch): re-processing a batch
+    is idempotent for max/OR-merge sketches (HLL/Bloom) and
+    bound-preserving for the counter/quantile families, so the sink gives
+    exactly-once-per-epoch semantics over retries within an epoch."""
     os.makedirs(table_dir, exist_ok=True)
-    merge = make_hll_merge_agg(p)
+    merge = merge_agg_factory()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = hll_partial_sketches(batch_df, keys, value_col, p)
+        new = partials_fn(batch_df)
         pointer = os.path.join(table_dir, "_CURRENT")
         if os.path.exists(pointer):
             with open(pointer) as f:
                 current = f.read().strip()
             old = spark.read.parquet(os.path.join(table_dir, current))
             new = new.unionByName(old)
-        merged = new.groupBy(*keys).agg(merge(F.col("sketch")).alias("sketch")) if keys else new.agg(
-            merge(F.col("sketch")).alias("sketch")
+        merged = (
+            new.groupBy(*keys).agg(merge(F.col(sketch_col)).alias(sketch_col))
+            if keys
+            else new.agg(merge(F.col(sketch_col)).alias(sketch_col))
         )
         snap = f"snap-{epoch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(table_dir, snap))
@@ -70,6 +80,24 @@ def foreach_batch_sketch_sink(
         os.replace(tmp, pointer)
 
     return sink
+
+
+def foreach_batch_sketch_sink(
+    keys: list[str],
+    value_col: str,
+    table_dir: str,
+    p: int = HLL_P_DEFAULT,
+):
+    """HLL snapshot sink: merges each micro-batch's group sketches into
+    ``table_dir`` (parquet snapshot: data file + _CURRENT pointer swapped
+    atomically). The HLL instance of ``foreach_batch_summary_sink``."""
+    return foreach_batch_summary_sink(
+        keys,
+        table_dir,
+        lambda df: hll_partial_sketches(df, keys, value_col, p),
+        lambda: make_hll_merge_agg(p),
+        "sketch",
+    )
 
 
 def windowed_sketch_sink(

@@ -232,3 +232,48 @@ def test_stateful_sessions_cross_batch_late_data(spark, tmp_path):
     assert ("a", e(5000), e(5000), 1) in rows
     assert ("a", e(9000), e(10060), 3) in rows
     assert len(rows) == 2
+
+
+def test_streaming_mg_trending_sink(spark, tmp_path):
+    """The generic summary sink with a Misra–Gries summary: streaming
+    'trending items' — after all batches the snapshot's counts equal the
+    whole stream's exact counts (distinct ≪ capacity → exact regime)."""
+    from phphll_spark.sketches import mg_entries, mg_partial_sketches, make_mg_merge_agg
+    from phphll_spark.streaming import foreach_batch_summary_sink, read_sketch_table
+
+    src = tmp_path / "mg_in"
+    src.mkdir()
+    all_rows = []
+    for b in range(3):
+        rows = [(f"item{(i + b) % 7}",) for i in range(50 + 10 * b)]
+        all_rows += rows
+        spark.createDataFrame(rows, "item string").coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{b}")
+        )
+    table = str(tmp_path / "mg_table")
+    stream = spark.readStream.schema("item string").option("maxFilesPerTrigger", "1").parquet(
+        f"{src}/*"
+    )
+    sink = foreach_batch_summary_sink(
+        [], table,
+        lambda df: mg_partial_sketches(df, [], "item", k=64),
+        make_mg_merge_agg,
+        "mg",
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["item"]: r["n"]
+        for r in read_sketch_table(spark, table)
+        .select(F.explode(mg_entries(F.col("mg"))).alias("item", "n"))
+        .collect()
+    }
+    truth: dict = {}
+    for (it,) in all_rows:
+        truth[it] = truth.get(it, 0) + 1
+    assert got == truth
