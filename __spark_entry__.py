@@ -162,6 +162,18 @@ def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_k=5)
 
 
+def q_dedup_minhash_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized near-dup dedup: the cleaned table after dropping every
+    doc that near-matches (Jaccard(5-gram) ≥ 0.8) a lower-id doc — the
+    actual 'write the training set' step, not just the pair report."""
+    from phphll_spark.operators import dedup_minhash_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_minhash_keep(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_k=5
+    ).select("doc_id", "lang", "source")
+
+
 def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive 3-gram Jaccard pairs ≥ 0.8 within (lang, source) blocks."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_en_de": q_hll_union_en_de,
         "bpe_token_stats_per_lang": q_bpe_token_stats_per_lang,
         "dedup_minhash_docs": q_dedup_minhash_docs,
+        "dedup_minhash_keep_docs": q_dedup_minhash_keep_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -945,6 +958,24 @@ def oracle_sql() -> dict[str, str]:
                  / GREATEST(len(a.s), len(b.s)) >= 0.8
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "dedup_minhash_keep_docs": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN length({norm}) < 5 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 3),
+                                                            i -> substring({norm}, CAST(i AS INT), 5)))
+                     END AS s
+              FROM documents
+            ), losers AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "ngram_jaccard_docs": f"""
             WITH sh AS (

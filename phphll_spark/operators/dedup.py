@@ -189,6 +189,41 @@ def dedup_minhash(
     )
 
 
+def dedup_minhash_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """The materialized near-dup dedup: drop every row that near-matches a
+    LOWER-id row, keep the rest (all original columns).
+
+    Survivor rule: a doc survives iff it is never the higher-id side of a
+    qualifying pair — deterministic, one anti-join over the pair report,
+    and exactly the rule web-scale dedup pipelines use when a canonical
+    'first seen' copy should win. (Not full connected components: in a
+    chain a–b–c where only adjacent pairs qualify, b and c both drop even
+    though a–c alone wouldn't qualify — the standard conservative
+    choice.)"""
+    pairs = dedup_minhash(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

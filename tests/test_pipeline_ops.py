@@ -421,3 +421,15 @@ def test_dedup_minhash_same_results_with_hashed_verification(spark, neardup_docs
         ).collect()
     }
     assert got == base and len(got) >= 18
+
+
+def test_dedup_minhash_keep_drops_higher_id_dups(spark, neardup_docs):
+    """The cleaned table keeps exactly the docs that never near-match a
+    lower-id doc: every planted pair (2i, 2i+1) keeps 2i, drops 2i+1."""
+    from phphll_spark.operators import dedup_minhash_keep
+
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_keep(neardup_docs, "doc_id", "text", threshold=0.7).collect()
+    )
+    assert kept == [2 * i for i in range(20)]
