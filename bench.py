@@ -76,7 +76,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # flagship ingest throughput FIRST (steady-state, before the heavy
-    # headline queries churn JVM heap / Python worker memory): min of 2
+    # headline queries churn JVM heap / Python worker memory): min of 3
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"pages_{PAGES_ROWS}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         generate_pages_parquet(spark, cache, PAGES_ROWS, n_files=max(CPUS, 16))
@@ -84,7 +84,7 @@ def main() -> None:
 
     est = hll_global_distinct(pages, "url")  # warm the scan/hash path
     ingest_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         est = hll_global_distinct(pages, "url")
         ingest_s = min(ingest_s, time.time() - t0)
@@ -93,7 +93,7 @@ def main() -> None:
 
     # the north-star workload: hash the ~270 B extracted text per doc
     text_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         est_text = hll_global_distinct(pages, "text")
         text_s = min(text_s, time.time() - t0)
