@@ -337,6 +337,7 @@ def embedding_near_dup_blocked(
     num_tables: int | None = None,
     miss_prob: float = 1e-4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups via multi-table sign-LSH blocking + exact
     in-candidate verification — the scale path (no cross join anywhere in
@@ -351,7 +352,13 @@ def embedding_near_dup_blocked(
     much smaller buckets at the same table count.
 
     Validated equal to the quadratic ``embedding_near_dup_pairs`` baseline
-    at test scale (tests/test_dedup.py)."""
+    at test scale (tests/test_dedup.py).
+
+    NB the in-bucket pair expansion materializes C(bucket, 2) structs in
+    one row before exploding: a bucket is ~n/2^planes_per_table of the
+    corpus per table, so size ``planes_per_table`` to the threshold (8–16
+    for ≥0.9 cosine) and/or set ``max_bucket_size`` to drop pathological
+    cells instead of expanding them."""
     import math
 
     from .ann import sign_lsh_multitable
@@ -364,11 +371,15 @@ def embedding_near_dup_blocked(
         df, id_col, vec_col, dim=dim, num_tables=num_tables,
         planes_per_table=planes_per_table, seed=seed,
     )
-    pairs = (
+    grouped = (
         buckets.groupBy("table", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    pairs = (
+        grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
