@@ -634,7 +634,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-tuned table count holds the theoretical miss probability at
     ≤1e-4 for pairs AT the threshold (higher-sim pairs miss even less),
     and equality with the quadratic op is also asserted in
-    tests/test_dedup.py."""
+    tests/test_pipeline_ops.py."""
     from phphll_spark.operators import embedding_near_dup_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -352,7 +352,7 @@ def embedding_near_dup_blocked(
     much smaller buckets at the same table count.
 
     Validated equal to the quadratic ``embedding_near_dup_pairs`` baseline
-    at test scale (tests/test_dedup.py).
+    at test scale (tests/test_pipeline_ops.py).
 
     NB the in-bucket pair expansion materializes C(bucket, 2) structs in
     one row before exploding: a bucket is ~n/2^planes_per_table of the
