@@ -542,9 +542,12 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     centroids = kmeans_centroids(train, 8, seed=42)
-    index_path = os.path.join(
-        "/tmp/phphll_spark_ivf", os.path.basename(os.path.normpath(sf_dir))
-    )
+    # unique dir per call: a fixed shared path would let concurrent
+    # sessions (shared box) overwrite an index another session is lazily
+    # reading
+    import tempfile
+
+    index_path = os.path.join(tempfile.mkdtemp(prefix="phphll_ivf_"), "index")
     ivf_build_index(emb, "vec_id", "embedding", centroids=centroids, path=index_path)
     approx = ivf_topk_indexed(
         spark, index_path, qvecs, centroids=centroids, n_probe=3, k=3

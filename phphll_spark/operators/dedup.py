@@ -31,15 +31,19 @@ from ..functions.similarity import (
 from ..functions.text import char_shingles, content_fingerprint, normalized_text
 
 # DataFrames persisted by dedup_minhash, released via release_cached() once
-# the caller has materialized its result (executor-memory hygiene for
-# long-lived sessions; Spark's ContextCleaner would otherwise only reclaim
-# them on driver GC).
+# the caller has materialized its result. Each new dedup_minhash call also
+# releases the previous call's cache, so a session that never calls
+# release_cached() holds at most ONE small candidate-pair cache instead of
+# accumulating them (executor-memory hygiene for long-lived sessions).
 _CACHED: list[DataFrame] = []
 
 
 def release_cached() -> None:
     """Unpersist every intermediate cached by dedup operators. Call after
-    the downstream action has materialized (async, non-blocking)."""
+    the downstream action has materialized (async, non-blocking).
+    NB: also called automatically at the start of the next dedup_minhash,
+    so only interleaved *lazy* plans (built but not yet collected) ever
+    need to care about ordering."""
     while _CACHED:
         _CACHED.pop().unpersist(blocking=False)
 
@@ -150,6 +154,7 @@ def dedup_minhash(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs verified by exact shingle-Jaccard >= threshold.
 
@@ -161,9 +166,14 @@ def dedup_minhash(
     cluster of k byte-identical docs contributes k(k-1)/2 candidate
     pairs. At web scale run ``dedup_exact_keep`` first (hash-agg, one
     shuffle) and near-dup only the survivors — that bounds every LSH
-    bucket by true near-dup density instead of copy count."""
+    bucket by true near-dup density instead of copy count — and/or set
+    ``max_bucket_size`` so a degenerate bucket (e.g. a giant
+    identical-signature cluster) is dropped rather than expanded into
+    C(n,2) pairs inside one task."""
+    release_cached()  # previous call's candidate cache is no longer needed
     pairs = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        seed=seed, max_bucket_size=max_bucket_size,
     ).persist()
     _CACHED.append(pairs)
     # shingle ONLY the docs that appear in candidate pairs — at scale the
@@ -199,6 +209,7 @@ def dedup_minhash_keep(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The materialized near-dup dedup: drop every row that near-matches a
     LOWER-id row, keep the rest (all original columns).
@@ -219,6 +230,7 @@ def dedup_minhash_keep(
         bands=bands,
         shingle_k=shingle_k,
         seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -365,8 +377,9 @@ def embedding_near_dup_blocked(
 
     if num_tables is None:
         p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-        per_table = p1**planes_per_table
+        per_table = min(p1**planes_per_table, 1.0 - 1e-12)  # threshold=1.0 -> p1=1
         num_tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - per_table)))
+        num_tables = min(num_tables, 1024)  # numerical floor above would explode T
     buckets = sign_lsh_multitable(
         df, id_col, vec_col, dim=dim, num_tables=num_tables,
         planes_per_table=planes_per_table, seed=seed,

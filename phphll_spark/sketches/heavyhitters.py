@@ -122,36 +122,67 @@ def mg_deserialize(blob: bytes) -> tuple[dict[bytes, int], int, int]:
 # ---------------------------------------------------------------------------
 
 def mg_partial_sketches(df: DataFrame, keys: list[str], value_col: str, k: int = 256) -> DataFrame:
-    """Per-partition (optionally per-group) MG summaries via mapInPandas —
-    narrow fold, shuffle carries only ≤k-entry summaries."""
+    """Per-partition (optionally per-group) MG summaries via ``mapInArrow``
+    — narrow fold, shuffle carries only ≤k-entry summaries.
+
+    Arrow-native: per batch, group codes come from Arrow dictionary
+    encoding (functions/sketch.py helper) and (group, value) counts from
+    one combined-code ``np.unique`` — the only Python loop is over the
+    batch's UNIQUE (group, value) pairs, never its rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructField, StructType
+
+    from ..functions.sketch import _arrow_group_codes
 
     key_fields = [df.schema[kk] for kk in keys]
     out_schema = StructType(list(key_fields) + [StructField("mg", BinaryType(), False)])
+    arrow_schema = to_arrow_schema(out_schema)
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict = {}
-        for pdf in batches:
-            if pdf.empty:
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict = {}  # key_tuple -> [counts_dict, n]
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            if not keys:
-                groups = [((), pdf)]
+            varr = rb.column(rb.schema.get_field_index(value_col))
+            venc = varr.dictionary_encode()
+            vvals = venc.dictionary.to_pylist()
+            vcodes = venc.indices.to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(vcodes) if vcodes.dtype.kind == "f" else np.ones(len(vcodes), bool)
+            vcodes = np.where(valid, vcodes, 0).astype(np.int64)
+            if keys:
+                gcodes, uniq_rows = _arrow_group_codes(rb, keys)
             else:
-                groups = [
-                    (kt if isinstance(kt, tuple) else (kt,), g)
-                    for kt, g in pdf.groupby(list(keys), dropna=False, sort=False)
-                ]
-            for kt, g in groups:
-                counts, n = acc.setdefault(kt, ({}, [0]))
-                n[0] += mg_fold(counts, g[value_col], k)
+                gcodes, uniq_rows = np.zeros(rb.num_rows, dtype=np.int64), [()]
+            for row in uniq_rows:
+                if row not in acc:
+                    acc[row] = [{}, 0]
+            if not valid.any():
+                continue
+            pair = gcodes[valid] * len(vvals) + vcodes[valid]
+            upair, ucnt = np.unique(pair, return_counts=True)
+            ug, uv = np.divmod(upair, len(vvals))
+            touched = set()
+            for gi, vi, c in zip(ug.tolist(), uv.tolist(), ucnt.tolist()):
+                row = uniq_rows[gi]
+                entry = acc[row]
+                key = str(vvals[vi]).encode()
+                entry[0][key] = entry[0].get(key, 0) + c
+                entry[1] += c
+                touched.add(row)
+            for row in touched:
+                if len(acc[row][0]) > k:
+                    _decrement_to_capacity(acc[row][0], k)
         if not acc:
             return
         rows = list(acc.keys())
         out = {kk: [r[ki] for r in rows] for ki, kk in enumerate(keys)}
-        out["mg"] = [mg_serialize(acc[r][0], acc[r][1][0], k) for r in rows]
-        yield pd.DataFrame(out)
+        out["mg"] = [mg_serialize(acc[r][0], acc[r][1], k) for r in rows]
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
-    return df.select(*keys, value_col).mapInPandas(fold, schema=out_schema)
+    return df.select(*keys, value_col).mapInArrow(fold, schema=out_schema)
 
 
 def make_mg_merge_agg():
@@ -170,7 +201,9 @@ def make_mg_merge_agg():
                     raise InvalidMGError(f"cannot merge MG of capacities {kk} and {k}")
                 acc = mg_merge(acc, (counts, n), kk)
         if acc is None:
-            return mg_serialize({}, 0, 0)
+            # empty input -> NULL, not a k=0 sentinel that would poison
+            # later merges with real-capacity summaries
+            return None
         return mg_serialize(acc[0], acc[1], kk)
 
     return mg_merge_agg

@@ -51,10 +51,14 @@ def foreach_batch_summary_sink(
     re-merge them with the previous snapshot through the family's merge
     aggregate, and swap the parquet snapshot pointer atomically.
 
-    Mergeability is the whole trick (same as batch): re-processing a batch
-    is idempotent for max/OR-merge sketches (HLL/Bloom) and
-    bound-preserving for the counter/quantile families, so the sink gives
-    exactly-once-per-epoch semantics over retries within an epoch."""
+    Exactly-once per epoch: the _CURRENT pointer records the last APPLIED
+    epoch; a retry of an epoch the pointer already covers is skipped
+    outright (matters for the counter/quantile families, where re-merging
+    a batch would double-count — HLL/Bloom max/OR-merges are idempotent
+    anyway). A retry of an epoch that wrote its snapshot but died before
+    the pointer swap simply rewrites that snapshot: the pointer still
+    names the previous one, so the files being read are never the files
+    being overwritten."""
     os.makedirs(table_dir, exist_ok=True)
     merge = merge_agg_factory()
 
@@ -64,7 +68,11 @@ def foreach_batch_summary_sink(
         pointer = os.path.join(table_dir, "_CURRENT")
         if os.path.exists(pointer):
             with open(pointer) as f:
-                current = f.read().strip()
+                parts = f.read().split()
+            current = parts[0]
+            applied_epoch = int(parts[1]) if len(parts) > 1 else -1
+            if epoch_id <= applied_epoch:
+                return  # retry of an already-applied epoch: no-op
             old = spark.read.parquet(os.path.join(table_dir, current))
             new = new.unionByName(old)
         merged = (
@@ -76,7 +84,7 @@ def foreach_batch_summary_sink(
         merged.write.mode("overwrite").parquet(os.path.join(table_dir, snap))
         tmp = pointer + ".tmp"
         with open(tmp, "w") as f:
-            f.write(snap)
+            f.write(f"{snap} {epoch_id}")
         os.replace(tmp, pointer)
 
     return sink
@@ -228,7 +236,7 @@ def stateful_sessions(
 
 def read_sketch_table(spark, table_dir: str) -> DataFrame:
     with open(os.path.join(table_dir, "_CURRENT")) as f:
-        current = f.read().strip()
+        current = f.read().split()[0]
     return spark.read.parquet(os.path.join(table_dir, current))
 
 

@@ -59,9 +59,14 @@ def _array_cols(pdf: pd.DataFrame) -> list[str]:
     bad = []
     for c in pdf.columns:
         if pdf[c].dtype == object and len(pdf):
-            first = pdf[c].iloc[0]
-            if isinstance(first, (list, np.ndarray)):
-                bad.append(c)
+            # first NON-NULL cell — a null first row must not hide an
+            # array-typed column from the driver-crash detector
+            for v in pdf[c]:
+                if v is None:
+                    continue
+                if isinstance(v, (list, np.ndarray)):
+                    bad.append(c)
+                break
     return bad
 
 
