@@ -174,6 +174,52 @@ def q_dedup_minhash_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in one plan: exact
+    dedup (keep first) → near-dup dedup (drop higher-id near-matches at
+    Jaccard ≥ 0.8) → quality floor (score ≥ 0.3) → per-lang doc + token
+    budget of the surviving corpus. Every stage is an operator the engine
+    ships; the oracle recomputes the whole pipeline in SQL."""
+    from phphll_spark.operators import dedup_exact_keep, dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_exact_keep(docs, "doc_id", "text")
+    near_pairs = dedup_minhash(
+        survivors, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_k=5
+    )
+    losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = survivors.join(losers, "doc_id", "left_anti")
+    # quality score inline (same formula as q_quality_score_docs, portable
+    # half-up rounding so the SQL oracle reproduces it bit-for-bit)
+    c = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.transform(T.tokens("text"), F.lower)
+    sw = F.array(*[F.lit(w) for w in T._EN_STOPWORDS])
+    n_tok = F.size(T.tokens("text")).cast("long")
+    n_chars = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+    stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+    alpha_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(alpha / n_chars, 6))
+    punct_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(punct / n_chars, 6))
+    stop_r = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(stop / n_tok.cast("double"), 6))
+    len_score = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+        * F.least(F.lit(2000.0) / F.greatest(n_tok.cast("double"), F.lit(1.0)), F.lit(1.0))
+    )
+    score = (
+        0.4 * len_score
+        + 0.3 * alpha_r
+        + 0.2 * F.least(stop_r * 3, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct_r * 5, F.lit(1.0)))
+    )
+    q = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(score, 4))
+    kept = cleaned.withColumn("_q", q).filter(F.col("_q") >= 0.3)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+
+
 def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive 3-gram Jaccard pairs ≥ 0.8 within (lang, source) blocks."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -809,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats_per_lang": q_bpe_token_stats_per_lang,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_minhash_keep_docs": q_dedup_minhash_keep_docs,
+        "corpus_clean_stats": q_corpus_clean_stats,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -961,6 +1008,57 @@ def oracle_sql() -> dict[str, str]:
                  / GREATEST(len(a.s), len(b.s)) >= 0.8
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "corpus_clean_stats": f"""
+            WITH keepers AS (
+              SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+                FROM documents
+              ) WHERE rn = 1
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN length({norm}) < 5 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 3),
+                                                            i -> substring({norm}, CAST(i AS INT), 5)))
+                     END AS s
+              FROM keepers
+            ), losers AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ), cleaned AS (
+              SELECT doc_id, lang, text FROM keepers
+              WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            ), m AS (
+              SELECT doc_id, lang,
+                     len({tokens}) AS n_tok,
+                     length(coalesce(text,'')) AS n_chars,
+                     length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+                     len(list_filter(list_transform({tokens}, t -> lower(t)),
+                                     t -> t IN ({sw_list}))) AS n_stop
+              FROM cleaned
+            ), scored AS (
+              SELECT doc_id, lang, n_tok,
+                CASE WHEN n_tok = 0 THEN 0.0 ELSE
+                  FLOOR((
+                    0.4 * (LEAST(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+                           * LEAST(2000.0 / GREATEST(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+                    + 0.3 * (CASE WHEN n_chars = 0 THEN 0.0
+                                  ELSE FLOOR(CAST(n_alpha AS DOUBLE) / n_chars * 1000000.0 + 0.5) / 1000000.0 END)
+                    + 0.2 * LEAST((CASE WHEN n_tok = 0 THEN 0.0
+                                   ELSE FLOOR(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END) * 3, 1.0)
+                    + 0.1 * (1 - LEAST((CASE WHEN n_chars = 0 THEN 0.0
+                                        ELSE FLOOR(CAST(n_punct AS DOUBLE) / n_chars * 1000000.0 + 0.5) / 1000000.0 END) * 5, 1.0))
+                  ) * 10000.0 + 0.5) / 10000.0 END AS q
+              FROM m
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM scored WHERE q >= 0.3 GROUP BY lang
         """,
         "dedup_minhash_keep_docs": f"""
             WITH sh AS (
