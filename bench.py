@@ -34,6 +34,8 @@ HEADLINE = [
     "hll_rollup_lang_source_bound",
     "dedup_exact_docs",
     "dedup_minhash_docs",
+    "mg_heavy_event_types",
+    "embedding_near_dup_pairs",
     "fingerprint_docs",
     "token_stats_per_lang",
     "quality_score_docs",
