@@ -359,6 +359,21 @@ def q_mg_heavy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MG summaries — 'trending event types per day': one summary
+    per day (grouped Arrow fold + per-day merge agg), exploded to exact
+    (day, event_type, n) rows in the below-capacity regime."""
+    from phphll_spark.sketches import mg_entries, mg_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    sk = mg_sketch(ev, ["day"], "event_type", k=64)
+    return sk.select(
+        "day", F.explode(mg_entries(F.col("mg"))).alias("event_type", "n_events")
+    ).select("day", "event_type", "n_events")
+
+
 def q_mg_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MG in the DECREMENT regime (capacity 64 ≪ distinct users): for probe
     users, est ∈ [exact − N/(k+1), exact] — the published MG bound,
@@ -845,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_sliding_week_bound": q_hll_users_sliding_week_bound,
         "cms_user_event_counts_bound": q_cms_user_event_counts_bound,
         "mg_heavy_event_types": q_mg_heavy_event_types,
+        "mg_trending_daily": q_mg_trending_daily,
         "mg_heavy_users_bound": q_mg_heavy_users_bound,
         "tdigest_price_quantiles_bound": q_tdigest_price_quantiles_bound,
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
@@ -962,6 +978,11 @@ def oracle_sql() -> dict[str, str]:
         "mg_heavy_event_types": """
             SELECT event_type, COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "mg_trending_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "mg_heavy_users_bound": """
             SELECT user_id, COUNT(*) AS exact_count, TRUE AS within_bound
