@@ -174,6 +174,19 @@ def q_dedup_minhash_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level repetition per doc (boilerplate/spam signal): token
+    count, distinct-token count, and the duplicate-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.transform(T.tokens("text"), F.lower)
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        T.dup_token_ratio("text").alias("dup_ratio"),
+    )
+
+
 def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline in one plan: exact
     dedup (keep first) → near-dup dedup (drop higher-id near-matches at
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_minhash_keep_docs": q_dedup_minhash_keep_docs,
         "corpus_clean_stats": q_corpus_clean_stats,
+        "repetition_docs": q_repetition_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -1029,6 +1043,16 @@ def oracle_sql() -> dict[str, str]:
                  / GREATEST(len(a.s), len(b.s)) >= 0.8
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "repetition_docs": f"""
+            SELECT doc_id,
+                   len({tokens}) AS n_tokens,
+                   len(list_distinct(list_transform({tokens}, t -> lower(t)))) AS n_distinct_tokens,
+                   CASE WHEN len({tokens}) = 0 THEN 0.0
+                        ELSE FLOOR((1 - CAST(len(list_distinct(list_transform({tokens}, t -> lower(t)))) AS DOUBLE)
+                                        / len({tokens})) * 10000.0 + 0.5) / 10000.0
+                   END AS dup_ratio
+            FROM documents
         """,
         "corpus_clean_stats": f"""
             WITH keepers AS (

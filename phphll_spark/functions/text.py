@@ -104,6 +104,39 @@ def quality_score(col: Column | str, precision: int = 4) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(F.round(score, precision))
 
 
+def dup_token_ratio(col: Column | str, precision: int = 4) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − distinct/total; 0.0 for empty docs) — the word-level repetition
+    signal quality filters use to drop boilerplate/spam."""
+    t = F.transform(tokens(col), F.lower)
+    n = F.size(t)
+    d = F.size(F.array_distinct(t))
+    # floor-based half-up rounding: bit-identical in Spark and DuckDB
+    # (F.round's BigDecimal HALF_UP diverges on binary-double edges)
+    scale = float(10**precision)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.floor((1 - d / n) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def email_count(col: Column | str) -> Column:
+    """Number of email-shaped substrings (a cheap PII-scrub signal)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0))).cast("long")
+
+
+def digit_run_count(col: Column | str, min_len: int = 6) -> Column:
+    """Number of digit runs of at least ``min_len`` (phone/ID-shaped
+    substrings — the other cheap PII-scrub signal)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return F.size(
+        F.regexp_extract_all(c, F.lit(rf"[0-9]{{{min_len},}}"), F.lit(0))
+    ).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Language identification (marker-stopword heuristic)
 # ---------------------------------------------------------------------------

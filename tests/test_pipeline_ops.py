@@ -433,3 +433,31 @@ def test_dedup_minhash_keep_drops_higher_id_dups(spark, neardup_docs):
         for r in dedup_minhash_keep(neardup_docs, "doc_id", "text", threshold=0.7).collect()
     )
     assert kept == [2 * i for i in range(20)]
+
+
+def test_pii_and_repetition_signals(spark):
+    """Email / digit-run PII counters and the duplicate-token ratio on
+    planted fixtures (the synthetic driver corpus has no PII, so the
+    functions are pinned here)."""
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at a.b+c@ex-ample.org or admin@site.io, call 12345678 now"),
+            (1, "the the the cat cat"),
+            (2, ""),
+            (3, "all unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.email_count("text").alias("em"),
+            T.digit_run_count("text", 6).alias("dr"),
+            T.dup_token_ratio("text").alias("rep"),
+        ).collect()
+    }
+    assert rows[0]["em"] == 2 and rows[0]["dr"] == 1
+    assert rows[1]["em"] == 0 and rows[1]["dr"] == 0
+    assert rows[1]["rep"] == 0.6  # 5 tokens, 2 distinct
+    assert rows[2]["rep"] == 0.0 and rows[3]["rep"] == 0.0
