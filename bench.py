@@ -35,7 +35,6 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "mg_heavy_event_types",
-    "embedding_near_dup_pairs",
     "fingerprint_docs",
     "token_stats_per_lang",
     "quality_score_docs",
