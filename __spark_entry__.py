@@ -718,6 +718,17 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.5, dim=64)
 
 
+def q_embedding_all_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine ≥ 0.4 via blocked GEMM — the scalable exact
+    path for low thresholds, where LSH blocking cannot prune (see
+    operators/ann.py cosine_all_pairs_blocked). One matmul per block
+    combo; no cartesian/nested-loop node in the plan."""
+    from phphll_spark.operators import cosine_all_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_all_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, num_blocks=8)
+
+
 def q_topk_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: numpy-matmul batch scoring with per-batch local
     top-k (shuffle carries O(partitions·q·k), never the corpus). Exact by
@@ -896,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "topk_cosine_neighbors": q_topk_cosine_neighbors,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_all_pairs_exact": q_embedding_all_pairs_exact,
         "topk_cosine_blocked": q_topk_cosine_blocked,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -1243,6 +1255,18 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.5
+        """,
+        "embedding_all_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
+                     AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.4
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, DoubleType, LongType, StructField, StructType
 
 from .similarity_util import normalize_rows
 from ..functions.similarity import cosine
@@ -189,6 +189,110 @@ def ivf_topk(
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_all_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked GEMM — the scalable
+    shape for LOW thresholds, where LSH blocking cannot prune (a sim-0
+    pair still collides at (1/2)^r per table) but the O(n²) FLOPs are
+    unavoidable anyway and the only question is distributing them.
+
+    Plan: vectors are packed into ``num_blocks`` matrices (one groupBy),
+    the B(B+1)/2 block combos come from two broadcast equi-joins against
+    a tiny combo table (no nested-loop/cartesian node), and each combo
+    task runs ONE numpy matmul, emitting only qualifying pairs — so the
+    shuffle carries B matrices × B replicas in, and just the result pairs
+    out. Size ``num_blocks`` so a block matrix (n/B × dim doubles) fits
+    an executor task comfortably.
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim rounded to 4
+    (same contract as embedding_near_dup_pairs; zero vectors score 0.0)."""
+    spark = df.sparkSession
+    B = num_blocks
+    packed_schema = StructType(
+        [
+            StructField("block", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("ids", BinaryType(), False),
+            StructField("mat", BinaryType(), False),
+        ]
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas: the WHOLE block arrives as one frame, so a block
+        # is always exactly one packed row (a batched mapInPandas would
+        # split >65k-row blocks into sub-rows and double-emit same-block
+        # pairs across sub-row combinations)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        X = normalize_rows(np.array(list(g[vec_col]), dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "block": [int(g["block"].iloc[0])],
+                "n": [len(ids)],
+                "ids": [ids.tobytes()],
+                "mat": [X.tobytes()],
+            }
+        )
+
+    blocks = (
+        df.select(F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("block"), id_col, vec_col)
+        .groupBy("block")
+        .applyInPandas(pack, schema=packed_schema)
+    )
+    combos = spark.createDataFrame(
+        [(a, b) for a in range(B) for b in range(a, B)], "block_a long, block_b long"
+    )
+    a = blocks.select(
+        F.col("block").alias("block_a"),
+        F.col("n").alias("n_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    b = blocks.select(
+        F.col("block").alias("block_b"),
+        F.col("n").alias("n_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    joined = combos.join(a, "block_a").join(b, "block_b")
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine_sim", DoubleType(), False),
+        ]
+    )
+
+    def gemm(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ia = np.frombuffer(row.ids_a, dtype=np.int64)
+                ib = np.frombuffer(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(row.n_a, -1)
+                Bm = np.frombuffer(row.mat_b, dtype=np.float64).reshape(row.n_b, -1)
+                S = np.round(A @ Bm.T, 4)
+                ii, jj = np.nonzero(S >= threshold)
+                if len(ii) == 0:
+                    continue
+                pa_, pb_ = ia[ii], ib[jj]
+                lo = np.minimum(pa_, pb_)
+                hi = np.maximum(pa_, pb_)
+                keep = lo < hi  # drops self-pairs; same-block dups handled below
+                out = pd.DataFrame(
+                    {"id_a": lo[keep], "id_b": hi[keep], "cosine_sim": S[ii, jj][keep]}
+                )
+                if row.block_a == row.block_b:
+                    out = out.drop_duplicates(["id_a", "id_b"])
+                yield out
+
+    return joined.mapInPandas(gemm, schema=out_schema)
 
 
 def sign_lsh_multitable(

@@ -461,3 +461,22 @@ def test_pii_and_repetition_signals(spark):
     assert rows[1]["em"] == 0 and rows[1]["dr"] == 0
     assert rows[1]["rep"] == 0.6  # 5 tokens, 2 distinct
     assert rows[2]["rep"] == 0.0 and rows[3]["rep"] == 0.0
+
+
+def test_cosine_all_pairs_blocked_matches_quadratic(spark):
+    """Blocked-GEMM exact all-pairs equals the quadratic baseline — the
+    scalable exact path for LOW thresholds where LSH cannot prune."""
+    from phphll_spark.operators import cosine_all_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in cosine_all_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4, num_blocks=7
+        ).collect()
+    }
+    assert blocked == exact and len(exact) > 10

@@ -155,3 +155,15 @@ def test_minhash_candidates_single_shuffle_no_self_join(spark):
     plan = _plan(pairs, "simple")
     assert "Join" not in plan, plan  # pair expansion is a transform, not a join
     assert "InMemoryTableScan" not in plan  # nothing persisted
+
+
+def test_all_pairs_gemm_no_cartesian(spark):
+    """The blocked-GEMM all-pairs plan joins block matrices through a tiny
+    combo table with broadcast equi-joins — no cartesian/nested-loop."""
+    from phphll_spark.operators import cosine_all_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = cosine_all_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, num_blocks=4)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
