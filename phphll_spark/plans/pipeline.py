@@ -230,6 +230,68 @@ def run_sketch_pipeline(
     )
 
 
+def run_summary_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str],
+    partials_fn,
+    merge_agg_factory,
+    sketch_col: str,
+    fail_after_splits: int | None = None,
+) -> PipelineResult:
+    """The resumable checkpoint pipeline for ANY mergeable summary in the
+    family (CMS / Bloom / t-digest / KLL / Misra–Gries — same shape as the
+    HLL ``run_sketch_pipeline``, which keeps its specialized Arrow fold
+    with per-split lineage).
+
+    ``partials_fn(subset_df) -> DataFrame[key_cols..., sketch_col]`` folds
+    one run's splits into partial summaries; resume correctness needs no
+    split column in the partials — the manifest's completed-file set is
+    the unit of work, and re-merging whole partial files is safe because
+    the family's merges are associative/commutative (max/OR families are
+    idempotent too; counter families are never re-folded thanks to the
+    file-level dedupe)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest = _read_manifest(checkpoint_dir)
+    done = set(manifest["completed_splits"])
+    all_splits = sorted(spark.read.parquet(input_path).inputFiles())
+    todo = [s for s in all_splits if s not in done]
+    if fail_after_splits is not None:
+        todo = todo[:fail_after_splits]
+
+    run_id = uuid.uuid4().hex[:12]
+    processed = 0
+    if todo:
+        partials = partials_fn(spark.read.parquet(*todo))
+        out_file = os.path.join(checkpoint_dir, f"partials-{run_id}.parquet")
+        partials.write.mode("overwrite").parquet(out_file)
+        processed = len(todo)
+        manifest = _read_manifest(checkpoint_dir)
+        manifest["completed_splits"] = sorted(set(manifest["completed_splits"]) | set(todo))
+        manifest["partial_files"] = manifest["partial_files"] + [out_file]
+        manifest["runs"] = manifest["runs"] + [
+            {"run_id": run_id, "splits": len(todo), "ts": time.time()}
+        ]
+        _publish_manifest(checkpoint_dir, manifest)
+
+    manifest = _read_manifest(checkpoint_dir)
+    merge = merge_agg_factory()
+    allp = spark.read.parquet(*manifest["partial_files"])
+    merged = (
+        allp.groupBy(*key_cols).agg(merge(F.col(sketch_col)).alias(sketch_col))
+        if key_cols
+        else allp.agg(merge(F.col(sketch_col)).alias(sketch_col))
+    )
+    return PipelineResult(
+        run_id=run_id,
+        processed_splits=processed,
+        skipped_splits=len(done),
+        results=merged,
+    )
+
+
 def lineage_table(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """All checkpointed lineage rows (FIXTURES.md §5 audit view)."""
     manifest = _read_manifest(checkpoint_dir)

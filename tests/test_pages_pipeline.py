@@ -115,3 +115,63 @@ def test_pipeline_salted_equals_unsalted(spark, pages_path, tmp_path):
     a = {r["lang"]: r["approx_distinct"] for r in salted.results.collect()}
     b = {r["lang"]: r["approx_distinct"] for r in plain.results.collect()}
     assert a == b
+
+
+def test_summary_pipeline_kill_resume_cms_and_mg(spark, tmp_path):
+    """The generic resumable pipeline works for the non-HLL families:
+    kill after half the splits, resume, and the final CMS point estimates
+    and MG counts equal a single uninterrupted run's."""
+    from phphll_spark.plans import run_summary_pipeline
+    from phphll_spark.sketches import (
+        cms_partial_sketches,
+        cms_point_estimate,
+        make_cms_merge_agg,
+        make_mg_merge_agg,
+        mg_entries,
+        mg_partial_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(f"u{i % 37}",) for i in range(4000)], "uid string"
+    ).repartition(8).write.mode("overwrite").parquet(src)
+
+    def run(ck, fail=None, family="cms"):
+        if family == "cms":
+            return run_summary_pipeline(
+                spark, src, ck,
+                key_cols=[],
+                partials_fn=lambda df: cms_partial_sketches(df, [], "uid", depth=4, width=1024),
+                merge_agg_factory=make_cms_merge_agg,
+                sketch_col="cms",
+                fail_after_splits=fail,
+            )
+        return run_summary_pipeline(
+            spark, src, ck,
+            key_cols=[],
+            partials_fn=lambda df: mg_partial_sketches(df, [], "uid", k=64),
+            merge_agg_factory=make_mg_merge_agg,
+            sketch_col="mg",
+            fail_after_splits=fail,
+        )
+
+    for family, probe in (("cms", True), ("mg", False)):
+        ck_once = str(tmp_path / f"{family}_once")
+        ck_resumed = str(tmp_path / f"{family}_res")
+        once = run(ck_once, family=family)
+        first = run(ck_resumed, fail=4, family=family)
+        assert first.processed_splits == 4
+        second = run(ck_resumed, family=family)
+        assert second.skipped_splits == 4 and second.processed_splits >= 1
+        if family == "cms":
+            got = lambda r: r.results.select(
+                cms_point_estimate(F.col("cms"), F.lit("u3")).alias("e")
+            ).collect()[0]["e"]
+            assert got(once) == got(second)
+        else:
+            ent = lambda r: {
+                x["k"]: x["n"]
+                for x in r.results.select(F.explode(mg_entries(F.col("mg"))).alias("k", "n")).collect()
+            }
+            assert ent(once) == ent(second)  # exact regime: 37 distinct < 64
