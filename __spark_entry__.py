@@ -202,31 +202,7 @@ def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     cleaned = survivors.join(losers, "doc_id", "left_anti")
-    # quality score inline (same formula as q_quality_score_docs, portable
-    # half-up rounding so the SQL oracle reproduces it bit-for-bit)
-    c = F.coalesce(F.col("text"), F.lit(""))
-    toks = F.transform(T.tokens("text"), F.lower)
-    sw = F.array(*[F.lit(w) for w in T._EN_STOPWORDS])
-    n_tok = F.size(T.tokens("text")).cast("long")
-    n_chars = F.length(c).cast("double")
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
-    stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
-    alpha_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(alpha / n_chars, 6))
-    punct_r = F.when(n_chars == 0, F.lit(0.0)).otherwise(_round_half_up(punct / n_chars, 6))
-    stop_r = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(stop / n_tok.cast("double"), 6))
-    len_score = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
-        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
-        * F.least(F.lit(2000.0) / F.greatest(n_tok.cast("double"), F.lit(1.0)), F.lit(1.0))
-    )
-    score = (
-        0.4 * len_score
-        + 0.3 * alpha_r
-        + 0.2 * F.least(stop_r * 3, F.lit(1.0))
-        + 0.1 * (1 - F.least(punct_r * 5, F.lit(1.0)))
-    )
-    q = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(score, 4))
-    kept = cleaned.withColumn("_q", q).filter(F.col("_q") >= 0.3)
+    kept = cleaned.withColumn("_q", _portable_quality_expr("text")).filter(F.col("_q") >= 0.3)
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.token_count("text")).alias("total_tokens"),
@@ -663,15 +639,15 @@ def _round_half_up(c: F.Column, n: int) -> F.Column:
     return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
 
 
-def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite heuristic quality score per doc (length/alpha/stopword/
-    punctuation mix — the T.quality_score formula), replicated
-    operation-for-operation in the oracle with portable half-up rounding."""
-    docs = load_table(spark, sf_dir, "documents")
-    c = F.coalesce(F.col("text"), F.lit(""))
-    toks = F.transform(T.tokens("text"), F.lower)
+def _portable_quality_expr(text_col: str = "text") -> F.Column:
+    """The composite quality score of T.quality_score, rebuilt with
+    portable half-up rounding at every step so the DuckDB oracles
+    reproduce it bit-for-bit. Shared by q_quality_score_docs and
+    q_corpus_clean_stats — one definition, two call sites."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.transform(T.tokens(text_col), F.lower)
     sw = F.array(*[F.lit(w) for w in T._EN_STOPWORDS])
-    n_tok = F.size(T.tokens("text")).cast("long")
+    n_tok = F.size(T.tokens(text_col)).cast("long")
     n_chars = F.length(c).cast("double")
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
     punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
@@ -689,8 +665,15 @@ def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(stop_r * 3, F.lit(1.0))
         + 0.1 * (1 - F.least(punct_r * 5, F.lit(1.0)))
     )
-    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(score, 4))
-    return docs.select("doc_id", quality.alias("quality"))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(_round_half_up(score, 4))
+
+
+def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score per doc (length/alpha/stopword/
+    punctuation mix — the T.quality_score formula), replicated
+    operation-for-operation in the oracle with portable half-up rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _portable_quality_expr("text").alias("quality"))
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,9 +1243,10 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
             s AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     FLOOR(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+                       * 10000.0 + 0.5) / 10000.0
                      AS cosine_sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )

@@ -241,10 +241,17 @@ def cosine_all_pairs_blocked(
             }
         )
 
-    blocks = (
+    from ._cache import register as _register_cache
+    from ._cache import release_cached
+
+    release_cached()
+    # persist: the self-join reads blocks as both sides — without the
+    # cache the pack stage (scan + normalize + serialize) runs twice
+    blocks = _register_cache(
         df.select(F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("block"), id_col, vec_col)
         .groupBy("block")
         .applyInPandas(pack, schema=packed_schema)
+        .persist()
     )
     combos = spark.createDataFrame(
         [(a, b) for a in range(B) for b in range(a, B)], "block_a long, block_b long"
@@ -277,7 +284,10 @@ def cosine_all_pairs_blocked(
                 ib = np.frombuffer(row.ids_b, dtype=np.int64)
                 A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(row.n_a, -1)
                 Bm = np.frombuffer(row.mat_b, dtype=np.float64).reshape(row.n_b, -1)
-                S = np.round(A @ Bm.T, 4)
+                # floor-based half-up rounding — the repo's portable rule
+                # (np.round is half-to-even; DuckDB ROUND is half-away;
+                # floor(x*1e4+0.5)/1e4 is bit-identical IEEE on both sides)
+                S = np.floor(A @ Bm.T * 10000.0 + 0.5) / 10000.0
                 ii, jj = np.nonzero(S >= threshold)
                 if len(ii) == 0:
                     continue

@@ -30,22 +30,8 @@ from ..functions.similarity import (
 )
 from ..functions.text import char_shingles, content_fingerprint, normalized_text
 
-# DataFrames persisted by dedup_minhash, released via release_cached() once
-# the caller has materialized its result. Each new dedup_minhash call also
-# releases the previous call's cache, so a session that never calls
-# release_cached() holds at most ONE small candidate-pair cache instead of
-# accumulating them (executor-memory hygiene for long-lived sessions).
-_CACHED: list[DataFrame] = []
-
-
-def release_cached() -> None:
-    """Unpersist every intermediate cached by dedup operators. Call after
-    the downstream action has materialized (async, non-blocking).
-    NB: also called automatically at the start of the next dedup_minhash,
-    so only interleaved *lazy* plans (built but not yet collected) ever
-    need to care about ordering."""
-    while _CACHED:
-        _CACHED.pop().unpersist(blocking=False)
+from ._cache import register as _register_cache
+from ._cache import release_cached  # re-exported; see operators/_cache.py
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -170,12 +156,13 @@ def dedup_minhash(
     ``max_bucket_size`` so a degenerate bucket (e.g. a giant
     identical-signature cluster) is dropped rather than expanded into
     C(n,2) pairs inside one task."""
-    release_cached()  # previous call's candidate cache is no longer needed
-    pairs = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        seed=seed, max_bucket_size=max_bucket_size,
-    ).persist()
-    _CACHED.append(pairs)
+    release_cached()  # previous operator's cache is no longer needed
+    pairs = _register_cache(
+        minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            seed=seed, max_bucket_size=max_bucket_size,
+        ).persist()
+    )
     # shingle ONLY the docs that appear in candidate pairs — at scale the
     # candidate set is orders of magnitude smaller than the corpus
     cand_ids = (

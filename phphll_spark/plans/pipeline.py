@@ -151,36 +151,34 @@ def hashlib_sha1(b: bytes) -> str:
     return hashlib.sha1(b).hexdigest()
 
 
-def run_sketch_pipeline(
+def _pipeline_core(
     spark: SparkSession,
     input_path: str,
     checkpoint_dir: str,
     *,
-    key_cols: list[str],
-    value_col: str,
-    p: int = HLL_P_DEFAULT,
-    salt_partitions: int | None = None,
+    make_partials,
+    finish,
+    empty_result,
     fail_after_splits: int | None = None,
 ) -> PipelineResult:
-    """One (possibly resuming) pipeline run over a parquet directory.
+    """The shared resumable-checkpoint loop (both pipeline flavors run
+    through this one commit protocol, so fixes to it apply everywhere):
 
-    ``salt_partitions``: repartition the scan by xxhash64(value, split) to
-    break url-host skew before sketching — harmless to results because
-    merge is grouping-independent, but it must stay OFF when lineage
-    matters (salting mixes rows across files, so per-split attribution
-    needs the split column carried through, which we do — the salt only
-    reshuffles rows, split_id rides along).
-    ``fail_after_splits``: test hook — process only the first N remaining
-    splits this run (simulates a mid-scan kill before the final merge).
+    - split discovery is METADATA-ONLY (file listing, no row scan) and
+      resume reads ONLY the missing files — a predicate on
+      input_file_name() can't push down, so filtering post-scan would
+      re-read every completed split on every resume (fatal at 10^12 rows)
+    - manifest commit is atomic (write-tmp + fsync + rename) and happens
+      AFTER the partials file lands, so a mid-run kill leaves at worst an
+      orphan partials file the manifest never references
+    - ``make_partials(subset_df)`` folds this run's splits (the subset
+      carries a ``_split_id`` column); ``finish(all_partials_df)`` merges
+      every manifest-listed partials file into the final results;
+      ``empty_result()`` is returned when nothing is checkpointed yet
     """
     os.makedirs(checkpoint_dir, exist_ok=True)
     manifest = _read_manifest(checkpoint_dir)
     done = set(manifest["completed_splits"])
-
-    # split discovery is METADATA-ONLY (file listing, no row scan) and
-    # resume reads ONLY the missing files — a predicate on
-    # input_file_name() can't push down, so filtering post-scan would
-    # re-read every completed split on every resume (fatal at 10^12 rows)
     all_splits = sorted(spark.read.parquet(input_path).inputFiles())
     todo = [s for s in all_splits if s not in done]
     if fail_after_splits is not None:
@@ -189,18 +187,8 @@ def run_sketch_pipeline(
     run_id = uuid.uuid4().hex[:12]
     processed = 0
     if todo:
-        subset = (
-            spark.read.parquet(*todo)
-            .withColumn("_split_id", F.input_file_name())
-            .select("_split_id", *key_cols, value_col)
-        )
-        if salt_partitions:
-            subset = subset.repartition(
-                salt_partitions, F.xxhash64(F.col(value_col), F.col("_split_id"))
-            )
-        partials = subset.mapInArrow(
-            _fold_with_lineage(key_cols, value_col, p), schema=_partials_schema(key_cols)
-        )
+        subset = spark.read.parquet(*todo).withColumn("_split_id", F.input_file_name())
+        partials = make_partials(subset)
         out_file = os.path.join(checkpoint_dir, f"partials-{run_id}.parquet")
         partials.write.mode("overwrite").parquet(out_file)
         processed = len(todo)
@@ -212,21 +200,72 @@ def run_sketch_pipeline(
         ]
         _publish_manifest(checkpoint_dir, manifest)
 
-    # final merge over everything checkpointed so far
     manifest = _read_manifest(checkpoint_dir)
     if not manifest["partial_files"]:
-        empty = spark.createDataFrame([], _partials_schema(key_cols))
-        merged = empty.select(*key_cols, F.col("sketch"))
+        results = empty_result()
     else:
-        allp = spark.read.parquet(*manifest["partial_files"])
-        merge = make_hll_merge_agg(p)
-        merged = allp.groupBy(*key_cols).agg(merge(F.col("sketch")).alias("sketch"))
-    results = merged.withColumn("approx_distinct", hll_count_sketch(F.col("sketch")))
+        results = finish(spark.read.parquet(*manifest["partial_files"]))
     return PipelineResult(
         run_id=run_id,
         processed_splits=processed,
         skipped_splits=len(done),
         results=results,
+    )
+
+
+def run_sketch_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    p: int = HLL_P_DEFAULT,
+    salt_partitions: int | None = None,
+    fail_after_splits: int | None = None,
+) -> PipelineResult:
+    """One (possibly resuming) HLL pipeline run over a parquet directory
+    (specialized Arrow fold with per-split lineage rows).
+
+    ``salt_partitions``: repartition the scan by xxhash64(value, split) to
+    break url-host skew before sketching — harmless to results because
+    merge is grouping-independent, but it must stay OFF when lineage
+    matters (salting mixes rows across files, so per-split attribution
+    needs the split column carried through, which we do — the salt only
+    reshuffles rows, split_id rides along).
+    ``fail_after_splits``: test hook — process only the first N remaining
+    splits this run (simulates a mid-scan kill before the final merge).
+    """
+
+    def make_partials(subset: DataFrame) -> DataFrame:
+        subset = subset.select("_split_id", *key_cols, value_col)
+        if salt_partitions:
+            subset = subset.repartition(
+                salt_partitions, F.xxhash64(F.col(value_col), F.col("_split_id"))
+            )
+        return subset.mapInArrow(
+            _fold_with_lineage(key_cols, value_col, p), schema=_partials_schema(key_cols)
+        )
+
+    def finish(allp: DataFrame) -> DataFrame:
+        merge = make_hll_merge_agg(p)
+        merged = allp.groupBy(*key_cols).agg(merge(F.col("sketch")).alias("sketch"))
+        return merged.withColumn("approx_distinct", hll_count_sketch(F.col("sketch")))
+
+    def empty_result() -> DataFrame:
+        empty = spark.createDataFrame([], _partials_schema(key_cols))
+        return empty.select(*key_cols, F.col("sketch")).withColumn(
+            "approx_distinct", hll_count_sketch(F.col("sketch"))
+        )
+
+    return _pipeline_core(
+        spark,
+        input_path,
+        checkpoint_dir,
+        make_partials=make_partials,
+        finish=finish,
+        empty_result=empty_result,
+        fail_after_splits=fail_after_splits,
     )
 
 
@@ -253,42 +292,28 @@ def run_summary_pipeline(
     the family's merges are associative/commutative (max/OR families are
     idempotent too; counter families are never re-folded thanks to the
     file-level dedupe)."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    manifest = _read_manifest(checkpoint_dir)
-    done = set(manifest["completed_splits"])
-    all_splits = sorted(spark.read.parquet(input_path).inputFiles())
-    todo = [s for s in all_splits if s not in done]
-    if fail_after_splits is not None:
-        todo = todo[:fail_after_splits]
 
-    run_id = uuid.uuid4().hex[:12]
-    processed = 0
-    if todo:
-        partials = partials_fn(spark.read.parquet(*todo))
-        out_file = os.path.join(checkpoint_dir, f"partials-{run_id}.parquet")
-        partials.write.mode("overwrite").parquet(out_file)
-        processed = len(todo)
-        manifest = _read_manifest(checkpoint_dir)
-        manifest["completed_splits"] = sorted(set(manifest["completed_splits"]) | set(todo))
-        manifest["partial_files"] = manifest["partial_files"] + [out_file]
-        manifest["runs"] = manifest["runs"] + [
-            {"run_id": run_id, "splits": len(todo), "ts": time.time()}
-        ]
-        _publish_manifest(checkpoint_dir, manifest)
+    def finish(allp: DataFrame) -> DataFrame:
+        merge = merge_agg_factory()
+        if key_cols:
+            return allp.groupBy(*key_cols).agg(merge(F.col(sketch_col)).alias(sketch_col))
+        return allp.agg(merge(F.col(sketch_col)).alias(sketch_col))
 
-    manifest = _read_manifest(checkpoint_dir)
-    merge = merge_agg_factory()
-    allp = spark.read.parquet(*manifest["partial_files"])
-    merged = (
-        allp.groupBy(*key_cols).agg(merge(F.col(sketch_col)).alias(sketch_col))
-        if key_cols
-        else allp.agg(merge(F.col(sketch_col)).alias(sketch_col))
-    )
-    return PipelineResult(
-        run_id=run_id,
-        processed_splits=processed,
-        skipped_splits=len(done),
-        results=merged,
+    def empty_result() -> DataFrame:
+        schema = StructType(
+            [StructField(k, StringType(), True) for k in key_cols]
+            + [StructField(sketch_col, BinaryType(), True)]
+        )
+        return spark.createDataFrame([], schema)
+
+    return _pipeline_core(
+        spark,
+        input_path,
+        checkpoint_dir,
+        make_partials=lambda subset: partials_fn(subset.drop("_split_id")),
+        finish=finish,
+        empty_result=empty_result,
+        fail_after_splits=fail_after_splits,
     )
 
 
