@@ -60,6 +60,13 @@ SECTIONS = [
         "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
         "near_dup_blocked",
     ),
+    (
+        "exact all-pairs cosine via blocked GEMM — distributed O(n²) without a cross join",
+        "One persisted block matrix per groupBy cell; B(B+1)/2 combos via "
+        "broadcast equi-joins against a tiny combo table; one numpy matmul "
+        "per combo emits only qualifying pairs.",
+        "all_pairs_gemm",
+    ),
 ]
 
 
@@ -119,6 +126,11 @@ def main() -> None:
         ),
         "near_dup_blocked": _plan(
             embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.5, dim=64),
+            "simple",
+        ),
+        "all_pairs_gemm": _plan(
+            __import__("phphll_spark.operators", fromlist=["cosine_all_pairs_blocked"])
+            .cosine_all_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, num_blocks=4),
             "simple",
         ),
     }
