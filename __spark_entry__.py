@@ -174,6 +174,23 @@ def q_dedup_minhash_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (md5-bucket, reproducible
+    across runs/engines): keep 30% of en docs, 70% of de, all others —
+    the 'rebalance head languages' step of a training-data pipeline.
+    Exported as per-lang kept-doc and kept-token counts."""
+    from phphll_spark.operators import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.3, "de": 0.7}, salt="r2"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level repetition per doc (boilerplate/spam signal): token
     count, distinct-token count, and the duplicate-token ratio."""
@@ -880,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_docs": q_dedup_minhash_keep_docs,
         "corpus_clean_stats": q_corpus_clean_stats,
         "repetition_docs": q_repetition_docs,
+        "stratified_sample_stats": q_stratified_sample_stats,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -1038,6 +1056,14 @@ def oracle_sql() -> dict[str, str]:
                  / GREATEST(len(a.s), len(b.s)) >= 0.8
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "stratified_sample_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({tokens})) AS BIGINT) AS total_tokens
+            FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS UBIGINT) % 10000
+                  < (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 7000 ELSE 10000 END)
+            GROUP BY lang
         """,
         "repetition_docs": f"""
             SELECT doc_id,

@@ -485,3 +485,30 @@ def test_cosine_all_pairs_blocked_matches_quadratic(spark):
     assert set(blocked) == set(exact) and len(exact) > 10
     for pair, sim in exact.items():
         assert abs(blocked[pair] - sim) <= 1e-4 + 1e-12, pair
+
+
+def test_stratified_hash_sample_deterministic_and_rated(spark, docs):
+    """Hash sampling is a pure function of the data: same rows under any
+    partitioning, per-stratum keep-rate near its target, and changing one
+    stratum's rate never changes another stratum's kept set."""
+    from phphll_spark.operators import stratified_hash_sample
+
+    rates = {"en": 0.3, "de": 0.7}
+    a = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_hash_sample(docs.repartition(7), "doc_id", "lang", rates).collect()
+    }
+    assert a == b
+    by_lang = {r["lang"]: r["doc_id"] for r in docs.collect()}  # just presence
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = len({r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", rates).filter(F.col("lang") == "en").collect()})
+    assert abs(kept_en / n_en - 0.3) < 0.12  # small-sample tolerance
+    # other strata keep everything at default_rate=1.0
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    kept_zh = stratified_hash_sample(docs, "doc_id", "lang", rates).filter(F.col("lang") == "zh").count()
+    assert kept_zh == n_zh
+    # changing en's rate doesn't change de's kept set
+    de1 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.3, "de": 0.7}).filter(F.col("lang") == "de").collect()}
+    de2 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.9, "de": 0.7}).filter(F.col("lang") == "de").collect()}
+    assert de1 == de2
