@@ -174,6 +174,21 @@ def q_dedup_minhash_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3-style n-gram overlap): docs with
+    doc_id < 25 play the eval set; every other doc sharing at least one
+    normalized 30-gram with them is contaminated (n=30 here rather than
+    the real-world 13 because the synthetic corpus's tiny word vocabulary
+    saturates short grams — at 30 chars only genuine dup/near-dup overlap
+    fires). Output: the contaminated ids a real pipeline would drop."""
+    from phphll_spark.operators import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return ngram_contamination(corpus, eval_set, "doc_id", "text", n=30)
+
+
 def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling (md5-bucket, reproducible
     across runs/engines): keep 30% of en docs, 70% of de, all others —
@@ -898,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_stats": q_corpus_clean_stats,
         "repetition_docs": q_repetition_docs,
         "stratified_sample_stats": q_stratified_sample_stats,
+        "decontaminate_docs": q_decontaminate_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -1056,6 +1072,20 @@ def oracle_sql() -> dict[str, str]:
                  / GREATEST(len(a.s), len(b.s)) >= 0.8
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
+        "decontaminate_docs": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN length({norm}) < 30 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 28),
+                                                            i -> substring({norm}, CAST(i AS INT), 30)))
+                     END AS s
+              FROM documents
+            )
+            SELECT DISTINCT c.doc_id AS doc_id
+            FROM sh c JOIN sh e ON e.doc_id < 25 AND c.doc_id >= 25
+            WHERE len(list_intersect(c.s, e.s)) > 0
         """,
         "stratified_sample_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,

@@ -512,3 +512,26 @@ def test_stratified_hash_sample_deterministic_and_rated(spark, docs):
     de1 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.3, "de": 0.7}).filter(F.col("lang") == "de").collect()}
     de2 = {r["doc_id"] for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.9, "de": 0.7}).filter(F.col("lang") == "de").collect()}
     assert de1 == de2
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    """13-gram decontamination: a doc embedding any eval 13-gram is
+    flagged; clean docs survive decontaminate() untouched."""
+    from phphll_spark.operators import decontaminate, ngram_contamination
+
+    ev = spark.createDataFrame(
+        [(0, "the secret eval answer is forty two exactly")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "totally unrelated text about spark partitions"),
+            (11, "he whispered: the secret eval answer is forty two exactly, verbatim"),
+            (12, "short"),
+            (13, "the secret eval"),  # < 13 chars shared run? 'the secret eva' is 14 chars — contains a 13-gram of eval
+        ],
+        "doc_id long, text string",
+    )
+    bad = sorted(r["doc_id"] for r in ngram_contamination(corpus, ev, "doc_id", "text", n=13).collect())
+    assert 11 in bad and 10 not in bad and 12 not in bad
+    clean = sorted(r["doc_id"] for r in decontaminate(corpus, ev, "doc_id", "text", n=13).collect())
+    assert 10 in clean and 11 not in clean
