@@ -206,6 +206,20 @@ def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain capping: keep at most 3 docs per source (lowest doc_id
+    wins, deterministic), report surviving docs per source — the
+    'bound boilerplate-heavy domains' step."""
+    from phphll_spark.operators import cap_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_stratum(docs, "doc_id", "source", 3)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level repetition per doc (boilerplate/spam signal): token
     count, distinct-token count, and the duplicate-token ratio."""
@@ -914,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "stratified_sample_stats": q_stratified_sample_stats,
         "decontaminate_docs": q_decontaminate_docs,
+        "cap_per_source_stats": q_cap_per_source_stats,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
@@ -1094,6 +1109,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8)) AS UBIGINT) % 10000
                   < (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 7000 ELSE 10000 END)
             GROUP BY lang
+        """,
+        "cap_per_source_stats": """
+            SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+            FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3 GROUP BY source
         """,
         "repetition_docs": f"""
             SELECT doc_id,

@@ -31,6 +31,28 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, salt=salt, buckets=buckets) < int(round(fraction * buckets)))
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per stratum, deterministically (the
+    lowest ids win) — the 'cap boilerplate-heavy domains' step of a
+    training-data pipeline. One window over the stratum key; at web scale
+    pair with salting only if a single stratum exceeds a task's memory,
+    otherwise this is the plan you want (rank is computed map-side per
+    stratum partition after one shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,
