@@ -55,6 +55,49 @@ def _shingle_windows_from_buffers(
     return starts, wlens, counts
 
 
+def _char_shingle_windows_from_buffers(
+    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Character (code-point) k-gram windows over a UTF-8 byte buffer.
+
+    Windows span k CHARACTERS — matching JVM ``substring`` /
+    ``char_shingles`` and the DuckDB oracles' semantics (ADVICE r2 #1:
+    plain byte windows split multi-byte code points and shift the
+    Jaccard for non-ASCII text) — but each window still hashes the
+    chars' UTF-8 BYTES, so an all-ASCII batch produces bit-identical
+    hashes to the byte-window path (and takes it as the fast path:
+    char-start detection is one mask over the buffer).
+
+    Char starts are the non-continuation bytes ((b & 0xC0) != 0x80);
+    docs are contiguous in the Arrow buffer, so the byte end of a char
+    window is simply the NEXT char-start position (or the batch end
+    sentinel). Sub-k rule matches the byte path: a nonempty doc shorter
+    than k chars is its own single shingle."""
+    if len(doc_off) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(0, np.int64)
+    lo = int(doc_off[0])
+    hi = int(doc_off[-1] + doc_lens[-1])
+    is_start = (buf[lo:hi] & 0xC0) != 0x80
+    if bool(is_start.all()):  # pure single-byte batch: chars == bytes
+        return _shingle_windows_from_buffers(buf, doc_off, doc_lens, k)
+    cpos = np.flatnonzero(is_start).astype(np.int64) + lo
+    cpos_ext = np.concatenate((cpos, [hi]))
+    cstart = np.searchsorted(cpos, doc_off)
+    cend = np.searchsorted(cpos, doc_off + doc_lens)
+    ccount = cend - cstart
+    counts = np.where(ccount >= k, ccount - k + 1, (ccount > 0).astype(np.int64))
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), counts
+    rep_cstart = np.repeat(cstart, counts)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    ws = rep_cstart + intra
+    we = ws + np.repeat(np.minimum(ccount, k), counts)
+    starts = cpos_ext[ws]
+    wlens = cpos_ext[we] - starts
+    return starts, wlens, counts
+
+
 def _char_shingle_windows(
     texts: list[bytes], k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -83,7 +126,7 @@ def _minhash_from_buffers(
     affine transforms each reduced per-doc with np.minimum.reduceat. Empty
     docs get all-max signatures (match nothing).
     """
-    starts, wlens, counts = _shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
+    starts, wlens, counts = _char_shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
     n = len(doc_lens)
     sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
     if counts.sum() == 0:
@@ -113,7 +156,7 @@ def _simhash_from_buffers(
     """64-bit SimHash per doc: sign-vote over the bits of every shingle
     hash. Vectorized bit-plane-at-a-time: one int32 reduceat per bit keeps
     peak memory at O(#shingles), not O(#shingles * 64)."""
-    starts, wlens, counts = _shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
+    starts, wlens, counts = _char_shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
     n = len(doc_lens)
     out = np.zeros(n, dtype=np.int64)
     if counts.sum() == 0:
@@ -200,7 +243,11 @@ def with_hashed_shingles(
 ) -> DataFrame:
     """Append a sorted-unique ``array<long>`` of murmur64 shingle hashes of
     the doc's text (mapInArrow, narrow, zero-copy windows over the Arrow
-    buffer — same shingle rule as char_shingles incl. sub-k self-shingle).
+    buffer — same shingle rule as char_shingles incl. sub-k self-shingle;
+    windows span k CODE POINTS, not bytes, so non-ASCII text gets the
+    same Jaccard as JVM/oracle character shingling — ADVICE r2 #1; see
+    _char_shingle_windows_from_buffers, whose all-ASCII fast path is
+    bit-identical to plain byte windows).
 
     The fast exact-verification representation for near-dup Jaccard: set
     operations on longs instead of building/distinct-ing millions of JVM
@@ -209,9 +256,9 @@ def with_hashed_shingles(
     ~n²/2⁶⁵ — negligible at any realistic corpus size, and the LSH
     candidate stage already relies on the same hashes).
 
-    NB: operates on the RAW bytes of ``text_col``; normalize first (e.g.
-    ``.withColumn(tmp, normalized_text(col))``) when content-identity
-    semantics are wanted — operators/dedup.py does."""
+    NB: normalize first (e.g. ``.withColumn(tmp, normalized_text(col))``)
+    when content-identity semantics are wanted — operators/dedup.py
+    does."""
     import pyarrow as pa
 
     fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
@@ -222,7 +269,7 @@ def with_hashed_shingles(
             if rb.num_rows == 0:
                 continue
             buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
-            starts, wlens, counts = _shingle_windows_from_buffers(buf, off, lens, shingle_k)
+            starts, wlens, counts = _char_shingle_windows_from_buffers(buf, off, lens, shingle_k)
             n = rb.num_rows
             if counts.sum() == 0:
                 uniq = np.empty(0, dtype=np.int64)

@@ -244,7 +244,7 @@ def cosine_all_pairs_blocked(
     from ._cache import register as _register_cache
     from ._cache import release_cached
 
-    release_cached()
+    release_cached(spark)
     # persist: the self-join reads blocks as both sides — without the
     # cache the pack stage (scan + normalize + serialize) runs twice
     blocks = _register_cache(

@@ -36,20 +36,43 @@ def cap_per_stratum(
     id_col: str,
     strata_col: str,
     max_rows: int,
+    *,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per stratum, deterministically (the
     lowest ids win) — the 'cap boilerplate-heavy domains' step of a
-    training-data pipeline. One window over the stratum key; at web scale
-    pair with salting only if a single stratum exceeds a task's memory,
-    otherwise this is the plan you want (rank is computed map-side per
-    stratum partition after one shuffle)."""
+    training-data pipeline.
+
+    Skew-safe two-phase top-k (VERDICT r02 #2 — a single window over the
+    stratum key sorts an entire head domain in one task):
+
+    1. salted partial top-k: rank within (stratum, salt) where salt =
+       xxhash64(id) % ``salt_buckets`` — a boilerplate-heavy stratum is
+       spread over ``salt_buckets`` tasks; each salt class keeps its own
+       ``max_rows`` lowest ids, so ≤ salt_buckets·max_rows candidates
+       per stratum survive.
+    2. exact re-rank of the (now bounded) candidates within the stratum.
+
+    Every one of the stratum's ``max_rows`` globally-lowest ids survives
+    phase 1 (at most max_rows−1 ids in its own salt class are lower), so
+    the result is identical to the single-window rank. Requires ``id_col``
+    to be unique (the deterministic tiebreak); the salt is a pure function
+    of the id, so results are independent of physical partitioning. Size
+    ``salt_buckets`` ≈ cluster parallelism; each phase-1 task then holds
+    O(stratum/salt_buckets) rows and the phase-2 sort is over
+    salt_buckets·max_rows rows per stratum."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(strata_col).orderBy(F.col(id_col))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(F.col(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= max_rows)
-        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn", "_salt")
     )
 
 

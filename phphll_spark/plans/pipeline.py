@@ -278,6 +278,7 @@ def run_summary_pipeline(
     partials_fn,
     merge_agg_factory,
     sketch_col: str,
+    key_schema: StructType | None = None,
     fail_after_splits: int | None = None,
 ) -> PipelineResult:
     """The resumable checkpoint pipeline for ANY mergeable summary in the
@@ -291,7 +292,13 @@ def run_summary_pipeline(
     the unit of work, and re-merging whole partial files is safe because
     the family's merges are associative/commutative (max/OR families are
     idempotent too; counter families are never re-folded thanks to the
-    file-level dedupe)."""
+    file-level dedupe).
+
+    ``key_schema``: the key columns' StructType, used for the
+    nothing-checkpointed-yet empty result so first-run consumers see the
+    same schema as the finish() path (non-string keys — e.g. a DateType
+    day — would otherwise come back as strings). Defaults to StringType
+    keys for backward compatibility."""
 
     def finish(allp: DataFrame) -> DataFrame:
         merge = merge_agg_factory()
@@ -300,10 +307,12 @@ def run_summary_pipeline(
         return allp.agg(merge(F.col(sketch_col)).alias(sketch_col))
 
     def empty_result() -> DataFrame:
-        schema = StructType(
-            [StructField(k, StringType(), True) for k in key_cols]
-            + [StructField(sketch_col, BinaryType(), True)]
+        key_fields = (
+            [key_schema[k] for k in key_cols]
+            if key_schema is not None
+            else [StructField(k, StringType(), True) for k in key_cols]
         )
+        schema = StructType(list(key_fields) + [StructField(sketch_col, BinaryType(), True)])
         return spark.createDataFrame([], schema)
 
     return _pipeline_core(

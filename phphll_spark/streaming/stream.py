@@ -70,7 +70,17 @@ def foreach_batch_summary_sink(
             with open(pointer) as f:
                 parts = f.read().split()
             current = parts[0]
-            applied_epoch = int(parts[1]) if len(parts) > 1 else -1
+            if len(parts) > 1:
+                applied_epoch = int(parts[1])
+            elif current.startswith("snap-"):
+                # legacy pointer (pre-epoch format): the snapshot NAME
+                # encodes the epoch that produced it, so the applied epoch
+                # is fully recoverable — a redelivery of that epoch after
+                # an upgrade is skipped, never re-merged (double-count
+                # guard for the counter/quantile families)
+                applied_epoch = int(current.rsplit("-", 1)[1])
+            else:
+                applied_epoch = -1
             if epoch_id <= applied_epoch:
                 return  # retry of an already-applied epoch: no-op
             old = spark.read.parquet(os.path.join(table_dir, current))

@@ -535,3 +535,139 @@ def test_ngram_contamination_and_decontaminate(spark):
     assert 11 in bad and 10 not in bad and 12 not in bad
     clean = sorted(r["doc_id"] for r in decontaminate(corpus, ev, "doc_id", "text", n=13).collect())
     assert 10 in clean and 11 not in clean
+
+
+def test_cap_per_stratum_skewed_no_single_task_sort(spark):
+    """VERDICT r02 #2: the cap must not sort a whole head stratum in one
+    task. One stratum 100x the others: result must equal the exact
+    lowest-k-per-stratum set, and the plan must show the salted phase-1
+    window (partitioned by (stratum, _salt)) feeding the exact phase-2
+    re-rank — the skewed stratum's sort is spread over salt_buckets
+    tasks, never one."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.operators import cap_per_stratum
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + s * 100 + i, f"s{s}") for s in range(5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    out = cap_per_stratum(df, "doc_id", "source", 5, salt_buckets=16)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    expect = {("big", i) for i in range(5)} | {
+        (f"s{s}", 10_000 + s * 100 + i) for s in range(5) for i in range(5)
+    }
+    assert got == expect
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # phase 1 partitions the window by (stratum, salt); phase 2 by stratum
+    assert "_salt" in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_minhash_bucket_guard_drops_before_collect(spark):
+    """VERDICT r02 #3: with max_bucket_size set, a degenerate bucket (10k
+    byte-identical docs -> one giant (band,bucket) cell) is anti-joined
+    out BEFORE collect_list, so the guard bounds agg-buffer memory. The
+    anti-join must be broadcast (map-side) so the bucket rows still reach
+    the collect through one shuffle."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.operators import minhash_candidate_pairs, release_cached
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated everywhere forever").alias("text"),
+    )
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, max_bucket_size=100
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("simple")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # every doc lands in the same buckets -> all buckets oversized -> no pairs
+    assert pairs.count() == 0
+    release_cached(spark)
+
+
+def test_embedding_blocked_bucket_guard(spark):
+    """Same guard on the sign-LSH path: identical vectors all share every
+    (table, bucket) cell; a small max_bucket_size drops them pre-collect
+    and yields zero candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.operators import embedding_near_dup_blocked, release_cached
+
+    vec = [1.0] + [0.0] * 7
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+    out = embedding_near_dup_blocked(
+        emb, "vec_id", "embedding", threshold=0.9, dim=8, num_tables=2,
+        max_bucket_size=50,
+    )
+    assert out.count() == 0
+    release_cached(spark)
+
+
+def test_hashed_shingles_non_ascii_char_parity(spark):
+    """ADVICE r2 #1: hashed shingles must window over CODE POINTS, not
+    UTF-8 bytes, so non-ASCII Jaccard matches char_shingles / the oracle
+    semantics. Mixed batch (ASCII + umlauts + CJK) also pins cross-mode
+    hash consistency: an ASCII shingle shared between an ASCII doc and a
+    non-ASCII doc must intersect."""
+    from phphll_spark.functions.similarity import with_hashed_shingles
+    from phphll_spark.functions.text import normalized_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "die schöne grüne Wiese über dem Tal"),
+            (1, "die schöne grüne Wiese über dem Meer"),
+            (2, "日本語のテキストをここに書いています"),
+            (3, "日本語のテキストをそこに書いています"),
+            (4, "plain ascii text about the green field"),
+            (5, "plain ascii text about the green meadow"),
+            (6, "öü"),  # sub-k non-ASCII self-shingle
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    k = 4
+    strings = docs.select("doc_id", T.char_shingles("text", k).alias("s"))
+    hashed = with_hashed_shingles(
+        docs.withColumn("_n", normalized_text("text")), "_n", shingle_k=k
+    ).select("doc_id", F.col("shingle_hashes").alias("s"))
+    ns = {r["doc_id"]: len(set(r["s"])) for r in strings.collect()}
+    nh = {r["doc_id"]: len(r["s"]) for r in hashed.collect()}
+    assert ns == nh, (ns, nh)
+
+    def pair_jac(df):
+        a, b = df.alias("a"), df.alias("b")
+        return {
+            (r["ia"], r["ib"]): r["j"]
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("ia"),
+                F.col("b.doc_id").alias("ib"),
+                F.round(jaccard("a.s", "b.s"), 6).alias("j"),
+            )
+            .collect()
+        }
+
+    js, jh = pair_jac(strings), pair_jac(hashed)
+    assert js == jh, {k_: (js[k_], jh[k_]) for k_ in js if js[k_] != jh[k_]}
+    # the near-dup pairs really do overlap (sanity that the test bites)
+    assert jh[(0, 1)] > 0.5 and jh[(2, 3)] > 0.5 and jh[(4, 5)] > 0.5
