@@ -22,6 +22,7 @@ import math
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -539,27 +540,65 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
     """Intersection cardinality |click ∩ view| by inclusion-exclusion over
     three HLL estimates (|A|+|B|−|A∪B|). HLL has no native intersect
     (SURVEY.md §2.5 set ops) — the error bound is the SUM of the three
-    union bounds, exported as a flag against the exact intersection."""
+    union bounds, exported as a flag against the exact intersection.
+
+    One-scan shape (VERDICT r02 #5 — the r2 plan scanned events five
+    times: three estimate branches + intersect): one groupBy(uid) pass
+    computes per-user click/view flags, then a SINGLE multi-column Arrow
+    fold (hll_partial_sketches_multi) produces the A, B and A∪B partial
+    sketches AND the exact overlap count in one pass over that frame —
+    one events Scan node, one uid exchange, in the whole plan (gated in
+    tests/test_plans.py; separate per-sketch plans defeat exchange reuse
+    because column pruning specializes each branch's aggregate).
+    Sketching the DISTINCT uids is estimate-identical to sketching raw
+    events: registers are max-of-hashes, duplicates never change them."""
+    from phphll_spark.functions.sketch import hll_partial_sketches_multi, make_hll_merge_agg
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
-    a = ev.filter(F.col("event_type") == "click")
-    b = ev.filter(F.col("event_type") == "view")
-    est_a = hll_count_distinct(a, [], "uid", alias="ea")
-    est_b = hll_count_distinct(b, [], "uid", alias="eb")
-    est_u = hll_count_distinct(a.union(b), [], "uid", alias="eu")
-    est = est_a.crossJoin(est_b).crossJoin(est_u).select(
-        (F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
-        (F.ceil(F.lit(_SIX_SIGMA) * (F.col("ea") + F.col("eb") + F.col("eu")))).alias("slack"),
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("uid")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("in_b"),
+        )
     )
-    exact = (
-        a.select("uid").intersect(b.select("uid")).agg(F.count("*").alias("exact_intersection"))
+    pre = flags.select(
+        F.when(F.col("in_a") == 1, F.col("uid")).alias("uid_a"),
+        F.when(F.col("in_b") == 1, F.col("uid")).alias("uid_b"),
+        F.col("uid").alias("uid_u"),
+        ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long").alias("in_both"),
     )
-    return est.crossJoin(exact).select(
+    partials = hll_partial_sketches_multi(pre, ["uid_a", "uid_b", "uid_u"], sum_cols=("in_both",))
+    merge = make_hll_merge_agg()
+
+    @F.pandas_udf("long")
+    def _sum_long(v: pd.Series) -> int:
+        # a plain F.sum cannot sit in the same .agg as grouped-agg pandas
+        # UDFs (INVALID_PANDAS_UDF_PLACEMENT) — so the exact count merges
+        # through a pandas sum in the same single aggregation
+        return int(v.sum())
+
+    agg = partials.agg(
+        merge(F.col("sketch_uid_a")).alias("sa"),
+        merge(F.col("sketch_uid_b")).alias("sb"),
+        merge(F.col("sketch_uid_u")).alias("su"),
+        _sum_long(F.col("sum_in_both")).alias("exact_intersection"),
+    )
+    est = agg.select(
+        hll_count_sketch(F.col("sa")).alias("ea"),
+        hll_count_sketch(F.col("sb")).alias("eb"),
+        hll_count_sketch(F.col("su")).alias("eu"),
         "exact_intersection",
-        (F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= F.col("slack")).alias(
-            "within_bound"
-        ),
+    )
+    return est.select(
+        "exact_intersection",
+        (
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_intersection"))
+            <= F.ceil(F.lit(_SIX_SIGMA) * (F.col("ea") + F.col("eb") + F.col("eu")))
+        ).alias("within_bound"),
     )
 
 
@@ -620,12 +659,16 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path (VERDICT r01 #4): the index is MATERIALIZED once as a
     parquet table partitioned by centroid; probes read only the union of
     the queries' probe partitions (PartitionFilters at the scan) instead
-    of rescanning the corpus."""
+    of rescanning the corpus. The index lifecycle is build-once
+    (VERDICT r02 #4): ``ivf_ensure_index`` caches it under a
+    deterministic path keyed by the corpus file metadata + quantizer, so
+    repeat calls (and repeat bench runs) are probe-only — no per-call
+    mkdtemp, no rebuild inside the query wall."""
     import os
 
     from phphll_spark.operators import (
         cosine_topk_bruteforce,
-        ivf_build_index,
+        ivf_ensure_index,
         ivf_topk_indexed,
         kmeans_centroids,
     )
@@ -638,13 +681,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     centroids = kmeans_centroids(train, 8, seed=42)
-    # unique dir per call: a fixed shared path would let concurrent
-    # sessions (shared box) overwrite an index another session is lazily
-    # reading
-    import tempfile
-
-    index_path = os.path.join(tempfile.mkdtemp(prefix="phphll_ivf_"), "index")
-    ivf_build_index(emb, "vec_id", "embedding", centroids=centroids, path=index_path)
+    index_path = ivf_ensure_index(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids=centroids,
+        cache_root=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".ivf_cache"),
+    )
     approx = ivf_topk_indexed(
         spark, index_path, qvecs, centroids=centroids, n_probe=3, k=3
     )

@@ -240,6 +240,59 @@ def hll_partial_sketches(
     return df.select(*keys, value_col).mapInArrow(fold, schema=out_schema)
 
 
+def hll_partial_sketches_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    p: int = HLL_P_DEFAULT,
+    *,
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One ``mapInArrow`` pass folding SEVERAL value columns into one
+    partial sketch each (plus optional exact int64 sums) — one row per
+    input partition, schema ``sketch_<col> binary ..., sum_<col> long``.
+
+    The one-scan building block for queries needing multiple related
+    sketches of the same frame — e.g. inclusion-exclusion intersection
+    (A, B and A∪B sketches + the exact overlap count from a single
+    pass). Separate per-sketch plans rescan/reshuffle the source once
+    per sketch, and Catalyst's column pruning specializes each branch's
+    aggregate enough to defeat exchange reuse (VERDICT r02 #5), so the
+    fusion has to happen here, in the fold. NULL values in a column are
+    skipped (Spark agg semantics), so ``F.when(cond, col)`` selects each
+    sketch's subset for free."""
+    import pyarrow.compute as pc
+
+    out_schema = StructType(
+        [StructField(f"sketch_{c}", BinaryType(), False) for c in value_cols]
+        + [StructField(f"sum_{c}", LongType(), False) for c in sum_cols]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    m = kernel.m_for_p(p)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        regs = {c: np.zeros(m, dtype=np.uint8) for c in value_cols}
+        sums = {c: 0 for c in sum_cols}
+        seen = False
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            seen = True
+            for c in value_cols:
+                idx, rho, _ = _arrow_idx_rho(rb.column(rb.schema.get_field_index(c)), p)
+                if len(idx):
+                    kernel.update_registers(regs[c], idx, rho)
+            for c in sum_cols:
+                s = pc.sum(rb.column(rb.schema.get_field_index(c))).as_py()
+                sums[c] += int(s or 0)
+        if not seen:
+            return
+        out: dict = {f"sketch_{c}": [codec.serialize(regs[c])] for c in value_cols}
+        out.update({f"sum_{c}": [sums[c]] for c in sum_cols})
+        yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+    return df.select(*value_cols, *sum_cols).mapInArrow(fold, schema=out_schema)
+
+
 def make_hll_merge_agg(p: int = HLL_P_DEFAULT):
     """Grouped-agg pandas UDF: column of HYLL blobs -> merged HYLL blob.
 

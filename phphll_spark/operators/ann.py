@@ -404,6 +404,58 @@ def ivf_build_index(
     ).parquet(path)
 
 
+def ivf_ensure_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: np.ndarray,
+    cache_root: str,
+) -> str:
+    """Build the materialized IVF index AT MOST ONCE per (data, quantizer)
+    and return its path — the index lifecycle fix of VERDICT r02 #4 (the
+    r2 query re-built the index inside the query wall into a leaked
+    per-call mkdtemp).
+
+    The location is deterministic: ``cache_root/ivf-<fingerprint>`` where
+    the fingerprint hashes the corpus's input FILE METADATA (sorted paths
+    + size + mtime — metadata-only, no scan) and the centroid bytes, so a
+    changed corpus or quantizer gets a fresh index and an unchanged one
+    is reused across calls and processes. Publication is atomic: build
+    into a tmp sibling, ``os.rename`` into place; a concurrent builder
+    that loses the rename race just discards its tmp and reuses the
+    winner (no reader ever sees a half-written index)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    meta = []
+    for f in sorted(corpus.inputFiles()):
+        local = f[len("file:"):].lstrip("/") if f.startswith("file:") else f
+        local = "/" + local if not local.startswith("/") else local
+        try:
+            st = os.stat(local)
+            meta.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            meta.append((f, -1, -1))
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    h = hashlib.sha1(repr(meta).encode())
+    h.update(C.tobytes())
+    h.update(f"{id_col}|{vec_col}".encode())
+    final = os.path.join(cache_root, f"ivf-{h.hexdigest()[:16]}")
+    if os.path.isdir(final):
+        return final
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    ivf_build_index(corpus, id_col, vec_col, centroids=centroids, path=tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return final
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

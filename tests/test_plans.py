@@ -167,3 +167,47 @@ def test_all_pairs_gemm_no_cartesian(spark):
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_intersection_single_events_scan(spark):
+    """VERDICT r02 #5: the inclusion-exclusion intersection query must
+    scan events ONCE — all branches (three sketches + exact) hang off the
+    same uid-grouped exchange, which Spark then reuses."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_hll_intersection_event_types(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "formatted")
+    scans = [l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 1 and "events.parquet" in plan, plan
+    # one uid exchange + the tiny partials exchange — never one per branch
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l]
+    assert len(exchanges) <= 2, plan
+    # and the answer is still right
+    row = df.collect()[0]
+    assert row["within_bound"] is True
+
+
+def test_ivf_ensure_index_builds_once(spark, tmp_path_factory):
+    """VERDICT r02 #4: the IVF index is built at most once per
+    (data, quantizer) fingerprint — the second call must return the same
+    path without rewriting it, and no tmp dirs may survive."""
+    import os
+
+    import numpy as np
+
+    from phphll_spark.operators import ivf_ensure_index, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = np.array([r["embedding"] for r in emb.limit(64).collect()], dtype=np.float64)
+    centroids = kmeans_centroids(train, 4, seed=42)
+    root = str(tmp_path_factory.mktemp("ivfcache"))
+    p1 = ivf_ensure_index(emb, "vec_id", "embedding", centroids=centroids, cache_root=root)
+    mtime = os.path.getmtime(p1)
+    p2 = ivf_ensure_index(emb, "vec_id", "embedding", centroids=centroids, cache_root=root)
+    assert p1 == p2 and os.path.getmtime(p1) == mtime
+    assert [d for d in os.listdir(root) if ".tmp-" in d] == []
+    # a different quantizer gets its own index
+    p3 = ivf_ensure_index(
+        emb, "vec_id", "embedding", centroids=kmeans_centroids(train, 4, seed=7), cache_root=root
+    )
+    assert p3 != p1
