@@ -34,6 +34,10 @@ HEADLINE = [
     "hll_rollup_lang_source_bound",
     "dedup_exact_docs",
     "dedup_minhash_docs",
+    "corpus_clean_stats",
+    "decontaminate_docs",
+    "stratified_sample_stats",
+    "cap_per_source_stats",
     "mg_heavy_event_types",
     "fingerprint_docs",
     "token_stats_per_lang",

@@ -98,6 +98,54 @@ def _char_shingle_windows_from_buffers(
     return starts, wlens, counts
 
 
+def _word_shingle_windows_from_buffers(
+    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Word n-gram windows over a buffer of NORMALIZED text (single-space
+    separated, trimmed — normalized_text's output): each window spans n
+    consecutive words, hashed as the exact byte range from the first
+    word's start to the last word's end (the separating single spaces
+    included, so equal windows ⇔ equal space-joined word tuples).
+
+    Vectorized: word starts are non-space bytes preceded by a space or a
+    doc boundary (0x20 never occurs inside a UTF-8 multi-byte sequence,
+    so the byte test is char-correct); per-doc word counts come from two
+    searchsorted calls. Sub-n rule mirrors the char path: a nonempty doc
+    with fewer than n words is its own single shingle. Returns
+    (window_starts, window_lens, windows_per_doc)."""
+    if len(doc_off) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(0, np.int64)
+    lo = int(doc_off[0])
+    hi = int(doc_off[-1] + doc_lens[-1])
+    seg = buf[lo:hi]
+    nonspace = seg != 0x20
+    prev_is_space = np.empty(len(seg), dtype=bool)
+    if len(seg):
+        prev_is_space[0] = True
+        np.equal(seg[:-1], 0x20, out=prev_is_space[1:])
+    prev_is_space[doc_off - lo] = True  # doc boundaries restart words
+    wstart = np.flatnonzero(nonspace & prev_is_space).astype(np.int64) + lo
+    g0 = np.searchsorted(wstart, doc_off)
+    gend = np.searchsorted(wstart, doc_off + doc_lens)
+    wc = gend - g0
+    counts = np.where(wc >= n, wc - n + 1, (wc > 0).astype(np.int64))
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), counts
+    doc_end = doc_off + doc_lens
+    rep_g0 = np.repeat(g0, counts)
+    rep_wc = np.repeat(wc, counts)
+    rep_end = np.repeat(doc_end, counts)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    gw = rep_g0 + intra
+    starts = wstart[gw]
+    is_tail = intra + n >= rep_wc  # window reaches the doc's last word
+    # clip the gather for tail windows (index would cross into the next doc)
+    nxt = np.minimum(gw + n, len(wstart) - 1)
+    ends = np.where(is_tail, rep_end, wstart[nxt] - 1)
+    return starts, ends - starts, counts
+
+
 def _char_shingle_windows(
     texts: list[bytes], k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -240,6 +288,7 @@ def with_hashed_shingles(
     *,
     shingle_k: int = 5,
     out_col: str = "shingle_hashes",
+    unit: str = "char",
 ) -> DataFrame:
     """Append a sorted-unique ``array<long>`` of murmur64 shingle hashes of
     the doc's text (mapInArrow, narrow, zero-copy windows over the Arrow
@@ -256,11 +305,20 @@ def with_hashed_shingles(
     ~n²/2⁶⁵ — negligible at any realistic corpus size, and the LSH
     candidate stage already relies on the same hashes).
 
+    ``unit``: "char" (default — k code-point windows) or "word"
+    (k consecutive whitespace-delimited words of NORMALIZED text, the
+    GPT-3-style decontamination unit — see
+    _word_shingle_windows_from_buffers).
+
     NB: normalize first (e.g. ``.withColumn(tmp, normalized_text(col))``)
     when content-identity semantics are wanted — operators/dedup.py
-    does."""
+    does; word mode REQUIRES normalized (single-space) text."""
     import pyarrow as pa
 
+    window_fn = {
+        "char": _char_shingle_windows_from_buffers,
+        "word": _word_shingle_windows_from_buffers,
+    }[unit]
     fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
     schema = StructType(fields)
 
@@ -269,7 +327,7 @@ def with_hashed_shingles(
             if rb.num_rows == 0:
                 continue
             buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
-            starts, wlens, counts = _char_shingle_windows_from_buffers(buf, off, lens, shingle_k)
+            starts, wlens, counts = window_fn(buf, off, lens, shingle_k)
             n = rb.num_rows
             if counts.sum() == 0:
                 uniq = np.empty(0, dtype=np.int64)

@@ -25,12 +25,15 @@ from ..functions.similarity import with_hashed_shingles
 from ..functions.text import normalized_text
 
 
-def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, unit: str = "char"
+) -> DataFrame:
     """(id, h) rows: one per distinct n-gram hash per doc."""
     sh = with_hashed_shingles(
         df.select(F.col(id_col), normalized_text(text_col).alias("_norm")),
         "_norm",
         shingle_k=n,
+        unit=unit,
     )
     return sh.select(F.col(id_col), F.explode("shingle_hashes").alias("h"))
 
@@ -42,13 +45,16 @@ def ngram_contamination(
     text_col: str,
     *,
     n: int = 13,
+    unit: str = "char",
 ) -> DataFrame:
-    """Ids of corpus docs sharing ≥1 normalized char n-gram with the eval
-    set. Output: one column, ``id_col``, distinct."""
+    """Ids of corpus docs sharing ≥1 normalized n-gram with the eval set
+    (``unit``: "char" grams, or "word" grams — the GPT-3 paper's actual
+    13-gram decontamination unit). Output: one column, ``id_col``,
+    distinct."""
     ev = F.broadcast(
-        _shingle_hash_rows(eval_df, id_col, text_col, n).select("h").distinct()
+        _shingle_hash_rows(eval_df, id_col, text_col, n, unit).select("h").distinct()
     )
-    doc_h = _shingle_hash_rows(corpus, id_col, text_col, n)
+    doc_h = _shingle_hash_rows(corpus, id_col, text_col, n, unit)
     return doc_h.join(ev, "h", "left_semi").select(id_col).distinct()
 
 
@@ -59,8 +65,9 @@ def decontaminate(
     text_col: str,
     *,
     n: int = 13,
+    unit: str = "char",
 ) -> DataFrame:
     """The cleaned corpus: drop every contaminated doc (anti-join on the
     contamination report), keep all original columns."""
-    bad = ngram_contamination(corpus, eval_df, id_col, text_col, n=n)
+    bad = ngram_contamination(corpus, eval_df, id_col, text_col, n=n, unit=unit)
     return corpus.join(bad, id_col, "left_anti")

@@ -22,8 +22,10 @@ def test_contract_keys_consistent():
         "simhash_docs",
         "minhash_signatures_docs",
         "multimodal_features",
-        "lsh_bucket_stats",
     }
+    # the driver records at most 50 rows — every exported query must land
+    # in CORRECTNESS_r{N} (VERDICT r02 #1)
+    assert len(qs) <= 50
 
 
 def test_queries_return_dataframes(spark):

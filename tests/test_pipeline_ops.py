@@ -671,3 +671,27 @@ def test_hashed_shingles_non_ascii_char_parity(spark):
     assert js == jh, {k_: (js[k_], jh[k_]) for k_ in js if js[k_] != jh[k_]}
     # the near-dup pairs really do overlap (sanity that the test bites)
     assert jh[(0, 1)] > 0.5 and jh[(2, 3)] > 0.5 and jh[(4, 5)] > 0.5
+
+
+def test_word_ngram_contamination_n13(spark):
+    """GPT-3-setting decontamination: word 13-gram overlap flags a doc
+    embedding 13 consecutive eval words; a 12-word overlap stays clean."""
+    from phphll_spark.operators import ngram_contamination
+
+    eval_words = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike".split()
+    assert len(eval_words) == 13
+    ev = spark.createDataFrame([(0, " ".join(eval_words))], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words here " + " ".join(eval_words) + " and a suffix"),
+            (11, "prefix words here " + " ".join(eval_words[:12]) + " broken suffix"),
+            (12, "completely unrelated content with many different words in it"),
+            (13, " ".join(eval_words)),  # sub-13? exactly 13 words -> one gram, equal
+        ],
+        "doc_id long, text string",
+    )
+    bad = sorted(
+        r["doc_id"]
+        for r in ngram_contamination(corpus, ev, "doc_id", "text", n=13, unit="word").collect()
+    )
+    assert bad == [10, 13], bad
