@@ -213,7 +213,17 @@ def cosine_all_pairs_blocked(
     an executor task comfortably.
 
     Output: (id_a, id_b, cosine_sim) with id_a < id_b, sim rounded to 4
-    (same contract as embedding_near_dup_pairs; zero vectors score 0.0)."""
+    (same contract as embedding_near_dup_pairs; zero vectors score 0.0).
+
+    Float caveat (ADVICE r2): the BLAS matmul accumulates dots in a
+    different association order than a sequential scalar loop (and than
+    DuckDB's list_dot_product), so sims are equal to the sequential
+    value only up to a few ulps. The floor-based half-up rounding at 1e-4
+    makes a visible flip require a sim within ~1e-12 of a rounding
+    boundary or of the threshold — accepted and documented rather than
+    giving up the GEMM (a fixed-order scalar accumulation would be
+    orders of magnitude slower); pick thresholds away from representable
+    sim values if bit-exact parity with a sequential oracle matters."""
     spark = df.sparkSession
     B = num_blocks
     packed_schema = StructType(
