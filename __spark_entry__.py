@@ -257,12 +257,23 @@ def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive 3-gram Jaccard pairs ≥ 0.8 within (lang, source) blocks."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "blk", F.concat_ws("|", "lang", "source")
+def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup labels: connected components of the verified
+    near-dup pair graph (Jaccard(5-gram) ≥ 0.8) — the production rule's
+    grouping step (one survivor per CLUSTER, not per pair). Component =
+    the minimum doc_id in the cluster, computed by iterative min-label
+    propagation over the (tiny, pairs ≪ corpus) edge list; the oracle
+    recomputes it with a recursive reachability CTE over the exhaustive
+    pair set. (Replaced ngram_jaccard_docs in r3: that query's exhaustive
+    baseline IS already dedup_minhash_docs' oracle, and the operator
+    stays pytest-covered.)"""
+    from phphll_spark.operators import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_k=5)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
     )
-    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.8, block_col="blk")
 
 
 def q_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_stats": q_stratified_sample_stats,
         "decontaminate_docs": q_decontaminate_docs,
         "cap_per_source_stats": q_cap_per_source_stats,
-        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "dedup_cluster_docs": q_dedup_cluster_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_stats_per_lang": q_token_stats_per_lang,
         "lang_marker_hits": q_lang_marker_hits,
@@ -1239,22 +1250,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
-        "ngram_jaccard_docs": f"""
-            WITH sh AS (
-              SELECT doc_id, lang || '|' || source AS blk,
+        "dedup_cluster_docs": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
                      CASE WHEN length({norm}) = 0 THEN []
-                          WHEN length({norm}) < 3 THEN [{norm}]
-                          ELSE list_distinct(list_transform(range(1, length({norm}) - 1),
-                                                            i -> substring({norm}, CAST(i AS INT), 3)))
+                          WHEN length({norm}) < 5 THEN [{norm}]
+                          ELSE list_distinct(list_transform(range(1, length({norm}) - 3),
+                                                            i -> substring({norm}, CAST(i AS INT), 5)))
                      END AS s
               FROM documents
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.doc_id < b.doc_id
+               AND CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE)
+                   / GREATEST(len(a.s), len(b.s)) >= 0.8
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ), nodes AS (
+              SELECT id_a AS id FROM p UNION SELECT id_b FROM p
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_sim
-            FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
         """,
         "dedup_keep_docs": f"""
             SELECT doc_id, lang, source FROM (

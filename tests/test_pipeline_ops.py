@@ -695,3 +695,69 @@ def test_word_ngram_contamination_n13(spark):
         for r in ngram_contamination(corpus, ev, "doc_id", "text", n=13, unit="word").collect()
     )
     assert bad == [10, 13], bad
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must agree with a plain union-find on random
+    graphs (chains, blobs, singletons-in-no-pair excluded by contract)."""
+    import random
+
+    from phphll_spark.operators import connected_components, release_cached
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = set()
+    # a long chain (worst diameter), a dense blob, and random noise
+    for i in range(0, 40):
+        edges.add((i, i + 1))
+    for i in range(100, 110):
+        for j in range(i + 1, 110):
+            edges.add((i, j))
+    for _ in range(60):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    # canonicalize: min id per component
+    comp_min = {}
+    for x, r in expected.items():
+        comp_min.setdefault(find(r), set()).add(x)
+    expected = {x: min(m) for r, m in comp_min.items() for x in m}
+
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
+    release_cached(spark)
+
+
+def test_dedup_cluster_keep_one_per_cluster(spark):
+    """Chain a-b-c where only adjacent pairs qualify: the cluster rule
+    keeps exactly one doc (a); the per-pair rule would also drop nothing
+    extra here but differs in general — pin the cluster semantics."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.operators import dedup_cluster_keep, release_cached
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_cluster_keep(docs, pairs, "doc_id").collect())
+    assert kept == [0, 3, 4]
+    release_cached(spark)
