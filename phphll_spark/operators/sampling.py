@@ -60,7 +60,14 @@ def cap_per_stratum(
     of the id, so results are independent of physical partitioning. Size
     ``salt_buckets`` ≈ cluster parallelism; each phase-1 task then holds
     O(stratum/salt_buckets) rows and the phase-2 sort is over
-    salt_buckets·max_rows rows per stratum."""
+    salt_buckets·max_rows rows per stratum.
+
+    NB Spark ≥3.5 additionally plans a map-side ``WindowGroupLimit
+    (Partial)`` for literal row_number limits (visible in PLANS.md), so
+    even each phase's own shuffle carries at most max_rows rows per
+    (partition, window key) — the salted phase is the explicit,
+    engine-portable guarantee that no single task ever ranks a whole
+    head stratum, and the group-limit pushdown makes both phases cheap."""
     from pyspark.sql import Window
 
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))

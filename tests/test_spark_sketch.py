@@ -186,3 +186,50 @@ def test_partial_sketches_sparse_accumulator_equivalence(spark):
     # and the end-to-end estimate is exact at these cardinalities
     est = {r["k"]: r["n"] for r in hll_count_distinct(df, ["k"], "v", alias="n").collect()}
     assert all(est[f"g{g}"] == 5 for g in range(40))
+
+
+def test_partial_sketches_multi_matches_separate_folds(spark):
+    """The fused multi-column fold must produce the same merged estimates
+    as three separate single-column pipelines, and its sums must be
+    exact."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.functions import hll_count_distinct
+    from phphll_spark.functions.sketch import (
+        hll_count_sketch,
+        hll_partial_sketches_multi,
+        make_hll_merge_agg,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").cast("string").alias("a"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("string")).alias("b"),
+        (F.col("id") % 2).alias("flag"),
+    )
+    partials = hll_partial_sketches_multi(df, ["a", "b"], sum_cols=("flag",))
+    merge = make_hll_merge_agg()
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sum_long(v: pd.Series) -> int:
+        return int(v.sum())
+
+    row = (
+        partials.agg(
+            merge(F.col("sketch_a")).alias("sa"),
+            merge(F.col("sketch_b")).alias("sb"),
+            _sum_long(F.col("sum_flag")).alias("nf"),
+        )
+        .select(
+            hll_count_sketch(F.col("sa")).alias("ea"),
+            hll_count_sketch(F.col("sb")).alias("eb"),
+            "nf",
+        )
+        .collect()[0]
+    )
+    ea = hll_count_distinct(df, [], "a").collect()[0][0]
+    eb = hll_count_distinct(df.filter(F.col("b").isNotNull()), [], "b").collect()[0][0]
+    assert row["ea"] == ea  # NULL-skipping fused fold == separate folds
+    assert row["eb"] == eb
+    assert row["nf"] == 5_000

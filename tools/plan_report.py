@@ -67,6 +67,22 @@ SECTIONS = [
         "per combo emits only qualifying pairs.",
         "all_pairs_gemm",
     ),
+    (
+        "inclusion-exclusion intersection — ONE events scan (fused multi-sketch fold)",
+        "One groupBy(uid) flags pass; a single mapInArrow fold then produces the "
+        "A, B and A∪B partial sketches AND the exact overlap count together — "
+        "one Scan node and two Exchanges total, where separate per-sketch "
+        "branches would scan events five times (VERDICT r02 #5).",
+        "intersection",
+    ),
+    (
+        "cap_per_stratum — skew-safe two-phase top-k",
+        "Phase 1 ranks within (stratum, xxhash64-salt) — a head stratum is "
+        "spread over salt_buckets tasks; phase 2 re-ranks the bounded "
+        "candidates exactly. Two Window nodes, the first partitioned by "
+        "(stratum, _salt) (VERDICT r02 #2).",
+        "cap_salted",
+    ),
 ]
 
 
@@ -126,6 +142,13 @@ def main() -> None:
         ),
         "near_dup_blocked": _plan(
             embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.5, dim=64),
+            "simple",
+        ),
+        "intersection": _plan(em.q_hll_intersection_event_types(spark, sf)),
+        "cap_salted": _plan(
+            __import__("phphll_spark.operators", fromlist=["cap_per_stratum"]).cap_per_stratum(
+                spark.read.parquet(f"{sf}/documents.parquet"), "doc_id", "source", 3
+            ),
             "simple",
         ),
         "all_pairs_gemm": _plan(
