@@ -223,15 +223,33 @@ def q_cap_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-level repetition per doc (boilerplate/spam signal): token
-    count, distinct-token count, and the duplicate-token ratio."""
+    """Word-level repetition per doc (boilerplate/spam signals): token
+    count, distinct-token count, the duplicate-token ratio, plus the
+    Gopher-style word-bigram signals (r3): byte coverage of the most
+    frequent 2-gram and of all duplicated 2-grams (Rae et al. 2021
+    quality filters) — vectorized run-length stats over the word-window
+    machinery, oracle-replicated with an unnest/count SQL pipeline."""
+    from phphll_spark.functions.similarity import with_ngram_repetition
+    from phphll_spark.functions.text import normalized_text
+
     docs = load_table(spark, sf_dir, "documents")
+    # single-file input arrives as one partition; spread the narrow fold
+    src = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
+    enriched = with_ngram_repetition(
+        src.withColumn("_norm", normalized_text("text")),
+        "_norm",
+        n=2,
+        out_top="top_2gram_fraction",
+        out_dup="dup_2gram_fraction",
+    )
     t = F.transform(T.tokens("text"), F.lower)
-    return docs.select(
+    return enriched.select(
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
         T.dup_token_ratio("text").alias("dup_ratio"),
+        "top_2gram_fraction",
+        "dup_2gram_fraction",
     )
 
 
@@ -1172,14 +1190,42 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3 GROUP BY source
         """,
         "repetition_docs": f"""
-            SELECT doc_id,
+            WITH gr AS (
+              SELECT doc_id, strlen({norm}) AS total,
+                     CASE WHEN length({norm}) = 0 THEN []
+                          WHEN len(string_split({norm}, ' ')) < 2 THEN [{norm}]
+                          ELSE list_transform(range(1, len(string_split({norm}, ' '))),
+                                 i -> array_to_string(
+                                        list_slice(string_split({norm}, ' '),
+                                                   CAST(i AS INT), CAST(i + 1 AS INT)), ' '))
+                     END AS grams
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM gr
+            ), c AS (
+              SELECT doc_id, gram, COUNT(*) AS k, strlen(gram) AS gl
+              FROM g GROUP BY doc_id, gram
+            ), s AS (
+              SELECT doc_id, MAX(k * gl) AS best,
+                     COALESCE(SUM(CASE WHEN k > 1 THEN k * gl END), 0) AS dupb
+              FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
                    len({tokens}) AS n_tokens,
                    len(list_distinct(list_transform({tokens}, t -> lower(t)))) AS n_distinct_tokens,
                    CASE WHEN len({tokens}) = 0 THEN 0.0
                         ELSE FLOOR((1 - CAST(len(list_distinct(list_transform({tokens}, t -> lower(t)))) AS DOUBLE)
                                         / len({tokens})) * 10000.0 + 0.5) / 10000.0
-                   END AS dup_ratio
-            FROM documents
+                   END AS dup_ratio,
+                   CASE WHEN gr.total = 0 OR s.best IS NULL THEN 0.0
+                        ELSE FLOOR(LEAST(s.best / gr.total, 1.0) * 10000.0 + 0.5) / 10000.0
+                   END AS top_2gram_fraction,
+                   CASE WHEN gr.total = 0 OR s.dupb IS NULL THEN 0.0
+                        ELSE FLOOR(LEAST(s.dupb / gr.total, 1.0) * 10000.0 + 0.5) / 10000.0
+                   END AS dup_2gram_fraction
+            FROM documents d
+            JOIN gr ON gr.doc_id = d.doc_id
+            LEFT JOIN s ON s.doc_id = d.doc_id
         """,
         "corpus_clean_stats": f"""
             WITH keepers AS (

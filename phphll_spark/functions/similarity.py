@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 from .. import kernel
 
@@ -345,6 +345,77 @@ def with_hashed_shingles(
             col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(uniq))
             out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
             yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
+
+    return df.mapInArrow(gen, schema=schema)
+
+
+def with_ngram_repetition(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 2,
+    out_top: str = "top_ngram_fraction",
+    out_dup: str = "dup_ngram_fraction",
+) -> DataFrame:
+    """Gopher-style word n-gram repetition signals per doc (Rae et al.
+    2021 quality filters), appended as two double columns:
+
+    - ``out_top``: bytes covered by the most frequent word n-gram
+      (count × gram byte-length) / doc byte-length, capped at 1.
+    - ``out_dup``: bytes covered by ALL word n-grams occurring more than
+      once (Σ count×len over duplicated grams) / doc byte-length, capped
+      at 1 (overlapping grams double-count, as in the paper's filter).
+
+    Expects NORMALIZED text (single-space separated — pair with
+    normalized_text); lengths are UTF-8 bytes on both sides of the
+    oracle (DuckDB ``strlen``), fractions rounded half-up to 4 via the
+    repo's portable floor rule. A nonempty doc with fewer than n words
+    is its own single gram (count 1 → top 1.0, dup 0.0), matching the
+    shingle sub-k rule; empty docs score 0/0.
+
+    Vectorized mapInArrow: word windows + one murmur pass + a
+    (doc, hash) lexsort → run-length stats; no per-row Python."""
+    import pyarrow as pa
+
+    fields = list(df.schema.fields) + [
+        StructField(out_top, DoubleType(), False),
+        StructField(out_dup, DoubleType(), False),
+    ]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            starts, wlens, counts = _word_shingle_windows_from_buffers(buf, off, lens, n)
+            nrows = rb.num_rows
+            top = np.zeros(nrows, dtype=np.float64)
+            dup = np.zeros(nrows, dtype=np.float64)
+            if counts.sum():
+                hashes = kernel.murmur64a_windows(buf, starts, wlens)
+                doc_ids = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+                order = np.lexsort((hashes, doc_ids))
+                sd, sh_, sl = doc_ids[order], hashes[order], wlens[order]
+                run_start = np.concatenate(([True], (np.diff(sd) != 0) | (np.diff(sh_) != 0)))
+                run_idx = np.flatnonzero(run_start)
+                run_counts = np.diff(np.concatenate((run_idx, [len(sd)])))
+                run_doc = sd[run_idx]
+                run_len = sl[run_idx]  # same hash ⇒ same bytes ⇒ same length
+                coverage = run_counts * run_len
+                np.maximum.at(top, run_doc, coverage.astype(np.float64))
+                dup_runs = run_counts > 1
+                np.add.at(dup, run_doc[dup_runs], coverage[dup_runs].astype(np.float64))
+                nz = lens > 0
+                top[nz] = np.floor(np.minimum(top[nz] / lens[nz], 1.0) * 1e4 + 0.5) / 1e4
+                dup[nz] = np.floor(np.minimum(dup[nz] / lens[nz], 1.0) * 1e4 + 0.5) / 1e4
+                top[~nz] = 0.0
+                dup[~nz] = 0.0
+            cols = list(rb.columns) + [pa.array(top), pa.array(dup)]
+            out_schema = rb.schema.append(pa.field(out_top, pa.float64(), nullable=False)).append(
+                pa.field(out_dup, pa.float64(), nullable=False)
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return df.mapInArrow(gen, schema=schema)
 

@@ -761,3 +761,48 @@ def test_dedup_cluster_keep_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in dedup_cluster_keep(docs, pairs, "doc_id").collect())
     assert kept == [0, 3, 4]
     release_cached(spark)
+
+
+def test_ngram_repetition_gopher_signals(spark):
+    """with_ngram_repetition vs a plain-Python reference: top-2-gram and
+    duplicate-2-gram byte coverage, capped, floor-half-up rounded."""
+    import math
+
+    from phphll_spark.functions.similarity import with_ngram_repetition
+
+    def ref(text, n):
+        words = text.split(" ") if text else []
+        words = [w for w in words if w]
+        if not words:
+            return 0.0, 0.0
+        grams = (
+            [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            if len(words) >= n
+            else [" ".join(words)]
+        )
+        from collections import Counter
+
+        c = Counter(grams)
+        total = len(text.encode())
+        top = max(k * len(g.encode()) for g, k in c.items())
+        dup = sum(k * len(g.encode()) for g, k in c.items() if k > 1)
+        r = lambda x: math.floor(min(x / total, 1.0) * 1e4 + 0.5) / 1e4
+        return r(top), r(dup)
+
+    docs = [
+        (0, "spam spam spam spam spam"),
+        (1, "all words here are completely different tokens"),
+        (2, "ab cd ab cd ab cd xy"),
+        (3, "tiny"),
+        (4, ""),
+        (5, "grüße grüße grüße und noch was"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["top_ngram_fraction"], r["dup_ngram_fraction"])
+        for r in with_ngram_repetition(df, "text", n=2).collect()
+    }
+    for i, t in docs:
+        assert out[i] == ref(t, 2), (i, out[i], ref(t, 2))
+    # the spammy doc is flagged, the diverse doc is not
+    assert out[0][1] > 0.8 and out[1][1] == 0.0
