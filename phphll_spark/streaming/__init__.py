@@ -4,6 +4,7 @@ from .stream import (
     read_sketch_table,
     stateful_sessions,
     stateful_sketch_counts,
+    streaming_dedup_exact,
     windowed_sketch_sink,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "read_sketch_table",
     "stateful_sessions",
     "stateful_sketch_counts",
+    "streaming_dedup_exact",
     "windowed_sketch_sink",
 ]

@@ -118,6 +118,34 @@ def foreach_batch_sketch_sink(
     )
 
 
+def streaming_dedup_exact(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    *,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-content
+    fingerprint has already been seen — the streaming analog of the batch
+    ``dedup_exact_keep`` (first arrival wins).
+
+    Built on ``dropDuplicatesWithinWatermark``: the dedup state is keyed
+    on the md5 content fingerprint and EXPIRES once the event-time
+    watermark passes a row's timestamp + ``delay`` — bounded state, the
+    only viable shape for an unbounded stream (a plain dropDuplicates
+    would grow state forever). Duplicates arriving farther apart than
+    the watermark delay both survive, by design — pick ``delay`` as the
+    dedup horizon. Rows inside one micro-batch dedup exactly."""
+    from ..functions.text import content_fingerprint
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .withColumn("_fp", content_fingerprint(text_col))
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def windowed_sketch_sink(
     keys: list[str],
     value_col: str,

@@ -277,3 +277,55 @@ def test_streaming_mg_trending_sink(spark, tmp_path):
     for (it,) in all_rows:
         truth[it] = truth.get(it, 0) + 1
     assert got == truth
+
+
+def test_streaming_dedup_exact_first_wins(spark, tmp_path):
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: duplicate
+    content across micro-batches inside the watermark horizon is dropped
+    (first arrival wins); distinct content flows through; state is keyed
+    on the content fingerprint, not the full row."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from phphll_spark.streaming import streaming_dedup_exact
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    base = "2024-01-01 00:{:02d}:00"
+    b1 = spark.createDataFrame(
+        [
+            (base.format(0), "the same doc body"),
+            (base.format(1), "another unique body"),
+            (base.format(1), "the same doc body"),  # in-batch dup
+        ],
+        "ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [
+            (base.format(2), "the same doc body"),  # cross-batch dup
+            (base.format(3), "a third body"),
+        ],
+        "ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out = streaming_dedup_exact(stream, "text", "ts", delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT text FROM dedup_stream").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["a third body", "another unique body", "the same doc body"]

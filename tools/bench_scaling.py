@@ -45,15 +45,29 @@ n = pages.count()
 results = {{}}
 # warm once, then min-of-3 (the host is shared — min filters external noise)
 from pyspark.sql import functions as SF
-for name, job in [
-    ("global_distinct_texts", lambda: hll_global_distinct(pages, "text")),
-    ("global_distinct_urls", lambda: hll_global_distinct(pages, "url")),
+from phphll_spark.operators import minhash_candidate_pairs, release_cached
+
+def _minhash_job():
+    # the flagship TRAINING-DATA op: MinHash-LSH candidate generation over
+    # a deterministic 1-in-64 slice of the texts (signatures narrow, one
+    # banded shuffle, bucket guard bounds the exact-dup blowup)
+    out = minhash_candidate_pairs(
+        pages.filter(SF.pmod(SF.xxhash64("url"), SF.lit(64)) == 0),
+        "url", "text", num_hashes=32, bands=8, shingle_k=5, max_bucket_size=64,
+    ).count()
+    release_cached(spark)
+    return out
+
+for name, job, rows in [
+    ("global_distinct_texts", lambda: hll_global_distinct(pages, "text"), n),
+    ("global_distinct_urls", lambda: hll_global_distinct(pages, "url"), n),
     ("distinct_urls_per_lang_day", lambda: hll_count_distinct(
-        pages.withColumn("day", SF.to_date("warc_ts")), ["lang", "day"], "url").count()),
+        pages.withColumn("day", SF.to_date("warc_ts")), ["lang", "day"], "url").count(), n),
+    ("minhash_candidates_1in64", _minhash_job, n // 64),
 ]:
     job()  # warm
     best = min(_timed(job) for _ in range(3))
-    results[name] = {{"sec": round(best, 3), "rows_per_sec": int(n / best)}}
+    results[name] = {{"sec": round(best, 3), "rows_per_sec": int(rows / best)}}
 sys.stderr.write("level done\n")
 print(json.dumps({{"cpus": cpus, "rows": n, "jobs": results}}))
 spark.stop()
