@@ -601,8 +601,23 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("uid").alias("uid_u"),
         ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long").alias("in_both"),
     )
-    partials = hll_partial_sketches_multi(pre, ["uid_a", "uid_b", "uid_u"], sum_cols=("in_both",))
+    from phphll_spark.sketches import (
+        make_theta_merge_agg,
+        theta_estimate,
+        theta_intersect,
+    )
+
+    partials = hll_partial_sketches_multi(
+        pre,
+        ["uid_a", "uid_b", "uid_u"],
+        sum_cols=("in_both",),
+        # the theta sketches ride the SAME murmur pass as the HLL folds —
+        # first-class set intersection (exact below k=4096 distinct) for
+        # free, vs HLL's inclusion-exclusion arithmetic
+        theta_cols=("uid_a", "uid_b"),
+    )
     merge = make_hll_merge_agg()
+    tmerge = make_theta_merge_agg()
 
     @F.pandas_udf("long")
     def _sum_long(v: pd.Series) -> int:
@@ -615,16 +630,24 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
         merge(F.col("sketch_uid_a")).alias("sa"),
         merge(F.col("sketch_uid_b")).alias("sb"),
         merge(F.col("sketch_uid_u")).alias("su"),
+        tmerge(F.col("theta_uid_a")).alias("ta"),
+        tmerge(F.col("theta_uid_b")).alias("tb"),
         _sum_long(F.col("sum_in_both")).alias("exact_intersection"),
     )
     est = agg.select(
         hll_count_sketch(F.col("sa")).alias("ea"),
         hll_count_sketch(F.col("sb")).alias("eb"),
         hll_count_sketch(F.col("su")).alias("eu"),
+        theta_estimate(theta_intersect(F.col("ta"), F.col("tb"))).cast("long").alias(
+            "theta_intersection"
+        ),
         "exact_intersection",
     )
     return est.select(
         "exact_intersection",
+        # theta set algebra is EXACT below k distinct per side — the
+        # oracle pins it to the true intersection, not just a bound
+        "theta_intersection",
         (
             F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_intersection"))
             <= F.ceil(F.lit(_SIX_SIGMA) * (F.col("ea") + F.col("eb") + F.col("eu")))
@@ -1072,7 +1095,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "hll_intersection_event_types": """
-            SELECT COUNT(*) AS exact_intersection, TRUE AS within_bound FROM (
+            SELECT COUNT(*) AS exact_intersection,
+                   COUNT(*) AS theta_intersection,
+                   TRUE AS within_bound FROM (
               SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
               INTERSECT
               SELECT DISTINCT user_id FROM events WHERE event_type = 'view'

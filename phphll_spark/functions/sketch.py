@@ -246,6 +246,8 @@ def hll_partial_sketches_multi(
     p: int = HLL_P_DEFAULT,
     *,
     sum_cols: tuple[str, ...] = (),
+    theta_cols: tuple[str, ...] = (),
+    theta_k: int = 4096,
 ) -> DataFrame:
     """One ``mapInArrow`` pass folding SEVERAL value columns into one
     partial sketch each (plus optional exact int64 sums) — one row per
@@ -259,11 +261,22 @@ def hll_partial_sketches_multi(
     aggregate enough to defeat exchange reuse (VERDICT r02 #5), so the
     fusion has to happen here, in the fold. NULL values in a column are
     skipped (Spark agg semantics), so ``F.when(cond, col)`` selects each
-    sketch's subset for free."""
+    sketch's subset for free.
+
+    ``theta_cols``: columns to ALSO fold into theta (KMV) sketches
+    (``theta_<col>`` binary outputs, sketches/theta.py) — they reuse the
+    very murmur pass the HLL fold already ran on that column, so
+    first-class set algebra (exact intersections below ``theta_k``
+    distinct) costs no extra hashing or scanning. Every theta col must
+    also be in ``value_cols``."""
     import pyarrow.compute as pc
 
+    from ..sketches.theta import _THETA_ONE, theta_fold, theta_serialize
+
+    assert all(c in value_cols for c in theta_cols)
     out_schema = StructType(
         [StructField(f"sketch_{c}", BinaryType(), False) for c in value_cols]
+        + [StructField(f"theta_{c}", BinaryType(), False) for c in theta_cols]
         + [StructField(f"sum_{c}", LongType(), False) for c in sum_cols]
     )
     arrow_schema = to_arrow_schema(out_schema)
@@ -271,6 +284,7 @@ def hll_partial_sketches_multi(
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         regs = {c: np.zeros(m, dtype=np.uint8) for c in value_cols}
+        thetas = {c: [np.empty(0, dtype=np.uint64), _THETA_ONE] for c in theta_cols}
         sums = {c: 0 for c in sum_cols}
         seen = False
         for rb in batches:
@@ -278,15 +292,24 @@ def hll_partial_sketches_multi(
                 continue
             seen = True
             for c in value_cols:
-                idx, rho, _ = _arrow_idx_rho(rb.column(rb.schema.get_field_index(c)), p)
-                if len(idx):
-                    kernel.update_registers(regs[c], idx, rho)
+                data, offsets, _ = _arrow_to_buffers(rb.column(rb.schema.get_field_index(c)))
+                if len(offsets) <= 1:
+                    continue
+                hashes = kernel.murmur64a(data, offsets)
+                idx, rho = kernel.hash_idx_rho(hashes, p)
+                kernel.update_registers(regs[c], idx, rho)
+                if c in thetas:
+                    st = thetas[c]
+                    st[0], st[1] = theta_fold(st[0], st[1], hashes, theta_k)
             for c in sum_cols:
                 s = pc.sum(rb.column(rb.schema.get_field_index(c))).as_py()
                 sums[c] += int(s or 0)
         if not seen:
             return
         out: dict = {f"sketch_{c}": [codec.serialize(regs[c])] for c in value_cols}
+        out.update(
+            {f"theta_{c}": [theta_serialize(thetas[c][0], thetas[c][1], theta_k)] for c in theta_cols}
+        )
         out.update({f"sum_{c}": [sums[c]] for c in sum_cols})
         yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 

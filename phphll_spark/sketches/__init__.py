@@ -28,6 +28,17 @@ from .cms import (
     cms_total,
     make_cms_merge_agg,
 )
+from .theta import (
+    InvalidThetaError,
+    make_theta_merge_agg,
+    theta_a_not_b,
+    theta_estimate,
+    theta_intersect,
+    theta_partial_sketches,
+    theta_retained,
+    theta_sketch,
+    theta_union_pair,
+)
 from .heavyhitters import (
     make_mg_merge_agg,
     mg_entries,
@@ -60,6 +71,11 @@ def register_sketch_sql_functions(spark) -> None:
     spark.udf.register("tdigest_quantile", _td_q)
     spark.udf.register("kll_quantile", _kll_q)
     spark.udf.register("mg_point_estimate", mg_point_estimate)
+    spark.udf.register("theta_merge_agg", make_theta_merge_agg())
+    spark.udf.register("theta_estimate", theta_estimate)
+    spark.udf.register("theta_intersect", theta_intersect)
+    spark.udf.register("theta_a_not_b", theta_a_not_b)
+    spark.udf.register("theta_union", theta_union_pair)
 
 __all__ = [
     "KLL",
@@ -91,4 +107,12 @@ __all__ = [
     "mg_total",
     "optimal_params",
     "register_sketch_sql_functions",
+    "make_theta_merge_agg",
+    "theta_a_not_b",
+    "theta_estimate",
+    "theta_intersect",
+    "theta_partial_sketches",
+    "theta_retained",
+    "theta_sketch",
+    "theta_union_pair",
 ]

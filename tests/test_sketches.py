@@ -305,3 +305,104 @@ def test_mg_distributed_matches_serial(spark):
         for r in merged.select(F.explode(mg_entries(F.col("mg"))).alias("event_type", "n")).collect()
     }
     assert got2 == truth
+
+
+# ---------------------------------------------------------------------------
+# Theta (KMV) sketch — set operations
+# ---------------------------------------------------------------------------
+
+def test_theta_exact_regime_and_set_ops(spark):
+    """Below k distinct values theta stays 1 and union / intersection /
+    difference are EXACT — validated against Python set truth."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.sketches import (
+        theta_a_not_b,
+        theta_estimate,
+        theta_intersect,
+        theta_sketch,
+        theta_union_pair,
+    )
+
+    a_vals = {f"u{i}" for i in range(600)}
+    b_vals = {f"u{i}" for i in range(400, 900)}
+    df = spark.createDataFrame(
+        [("a", v) for v in sorted(a_vals)] + [("b", v) for v in sorted(b_vals)],
+        "side string, v string",
+    ).repartition(7)
+    sk = theta_sketch(df, ["side"], "v", k=4096)
+    a = sk.filter(F.col("side") == "a").select(F.col("theta").alias("ta"))
+    b = sk.filter(F.col("side") == "b").select(F.col("theta").alias("tb"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            theta_estimate(F.col("ta")).alias("ea"),
+            theta_estimate(F.col("tb")).alias("eb"),
+            theta_estimate(theta_union_pair(F.col("ta"), F.col("tb"))).alias("eu"),
+            theta_estimate(theta_intersect(F.col("ta"), F.col("tb"))).alias("ei"),
+            theta_estimate(theta_a_not_b(F.col("ta"), F.col("tb"))).alias("ed"),
+        )
+        .collect()[0]
+    )
+    assert row["ea"] == len(a_vals)
+    assert row["eb"] == len(b_vals)
+    assert row["eu"] == len(a_vals | b_vals)
+    assert row["ei"] == len(a_vals & b_vals)
+    assert row["ed"] == len(a_vals - b_vals)
+
+
+def test_theta_estimation_regime_bound_and_merge_invariance(spark):
+    """Above k the estimate must sit inside the 6/sqrt(k-1) relative
+    bound, and the merged sketch bytes must be IDENTICAL under different
+    partitionings (theta merges are bit-exact, like HLL)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from phphll_spark.sketches import theta_estimate, theta_sketch
+
+    n, k = 100_000, 4096
+    df = spark.range(n).select(F.concat(F.lit("item-"), F.col("id")).alias("v"))
+    est = {}
+    blobs = {}
+    for parts in (3, 17):
+        sk = theta_sketch(df.repartition(parts), [], "v", k=k)
+        r = sk.select(theta_estimate(F.col("theta")).alias("e"), F.col("theta")).collect()[0]
+        est[parts], blobs[parts] = r["e"], bytes(r["theta"])
+    assert blobs[3] == blobs[17]  # bit-exact partition invariance
+    bound = 6 / math.sqrt(k - 1)
+    assert abs(est[3] - n) <= bound * n, est
+
+
+def test_theta_fold_merge_property():
+    """Kernel-level property: folding a stream in arbitrary chunkings and
+    merge orders yields the identical (entries, theta) state."""
+    import numpy as np
+
+    from phphll_spark.sketches.theta import (
+        _THETA_ONE,
+        theta_fold,
+        theta_merge,
+        theta_serialize,
+    )
+
+    rng = np.random.default_rng(11)
+    hashes = rng.integers(0, 1 << 63, size=50_000, dtype=np.uint64)
+    k = 512
+    empty = np.empty(0, dtype=np.uint64)
+
+    def run(splits, order):
+        chunks = np.array_split(hashes, splits)
+        states = []
+        for ch in chunks:
+            states.append(theta_fold(empty, _THETA_ONE, ch, k))
+        acc = states[order[0]]
+        for i in order[1:]:
+            acc = theta_merge(acc, states[i], k)
+        return theta_serialize(acc[0], acc[1], k)
+
+    a = run(1, [0])
+    b = run(5, [0, 1, 2, 3, 4])
+    c = run(5, [4, 2, 0, 3, 1])
+    d = run(9, list(range(9))[::-1])
+    assert a == b == c == d
