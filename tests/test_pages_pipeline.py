@@ -175,3 +175,43 @@ def test_summary_pipeline_kill_resume_cms_and_mg(spark, tmp_path):
                 for x in r.results.select(F.explode(mg_entries(F.col("mg"))).alias("k", "n")).collect()
             }
             assert ent(once) == ent(second)  # exact regime: 37 distinct < 64
+
+
+def test_summary_pipeline_kill_resume_theta(spark, tmp_path):
+    """Theta joins the resumable family: kill after half the splits,
+    resume, and the final sketch BYTES equal a single uninterrupted
+    run's (theta merges are bit-exact, so the whole pipeline is)."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.plans import run_summary_pipeline
+    from phphll_spark.sketches import (
+        make_theta_merge_agg,
+        theta_estimate,
+        theta_partial_sketches,
+    )
+
+    src = str(tmp_path / "ev_theta")
+    spark.createDataFrame(
+        [(f"u{i % 211}",) for i in range(4000)], "uid string"
+    ).repartition(8).write.mode("overwrite").parquet(src)
+
+    def run(ck, fail=None):
+        return run_summary_pipeline(
+            spark, src, ck,
+            key_cols=[],
+            partials_fn=lambda df: theta_partial_sketches(df, [], "uid", k=128),
+            merge_agg_factory=make_theta_merge_agg,
+            sketch_col="theta",
+            fail_after_splits=fail,
+        )
+
+    once = run(str(tmp_path / "th_once"))
+    first = run(str(tmp_path / "th_res"), fail=4)
+    assert first.processed_splits == 4
+    second = run(str(tmp_path / "th_res"))
+    assert second.skipped_splits == 4 and second.processed_splits >= 1
+    blob = lambda r: bytes(r.results.collect()[0]["theta"])
+    assert blob(once) == blob(second)
+    # 211 distinct > k=128: estimation regime, estimate within 6/sqrt(k-1)
+    est = once.results.select(theta_estimate(F.col("theta")).alias("e")).collect()[0]["e"]
+    assert abs(est - 211) <= 6 / (127 ** 0.5) * 211
