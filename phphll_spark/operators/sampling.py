@@ -83,6 +83,70 @@ def cap_per_stratum(
     )
 
 
+def cap_tokens_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-BUDGET capping: per stratum keep the longest ascending-id
+    prefix whose cumulative ``tokens_col`` stays ≤ ``max_tokens`` (a row
+    survives iff the running total *including it* fits) — the 'cap each
+    source at N tokens' step of a training-data mix, deterministic given
+    unique ids.
+
+    Skew-safe two-phase shape (a naive per-stratum cumsum window sorts a
+    whole head stratum in one task — the anti-pattern cap_per_stratum
+    fixed for row caps):
+
+    1. per-stratum id quantile boundaries (``percentile_approx`` — one
+       hash agg; accuracy only affects bucket BALANCE, never the result)
+       assign each row a bucket MONOTONE in id;
+    2. exact per-(stratum, bucket) token sums (hash agg) + a cumsum over
+       the tiny bucket frame locate each stratum's boundary bucket;
+    3. buckets that fit entirely are kept with a pure filter; ONLY the
+       single boundary bucket (~1/n_buckets of the stratum) is ranked
+       exactly with a cumsum window, charged from its bucket's exact
+       starting offset.
+
+    Rows with NULL tokens count as 0; ``id_col`` must be unique."""
+    from pyspark.sql import Window
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(strata_col).agg(
+        F.percentile_approx(id_col, probs, 10_000).alias("_bounds")
+    )
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    src = df.join(F.broadcast(bounds), strata_col).withColumn(
+        "_bkt",
+        F.aggregate(
+            F.col("_bounds"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col(id_col) > x, 1).otherwise(0),
+        ),
+    )
+    sums = src.groupBy(strata_col, "_bkt").agg(F.sum(tok).alias("_tok"))
+    wb = Window.partitionBy(strata_col).orderBy("_bkt")
+    cums = (
+        sums.withColumn("_cum_end", F.sum("_tok").over(wb))
+        .withColumn("_cum_start", F.col("_cum_end") - F.col("_tok"))
+        .select(strata_col, "_bkt", "_cum_start", "_cum_end")
+    )
+    j = src.join(F.broadcast(cums), [strata_col, "_bkt"])
+    full = j.filter(F.col("_cum_end") <= max_tokens)
+    boundary = j.filter((F.col("_cum_start") < max_tokens) & (F.col("_cum_end") > max_tokens))
+    win = Window.partitionBy(strata_col, "_bkt").orderBy(F.col(id_col))
+    kept_boundary = (
+        boundary.withColumn("_run", F.sum(tok).over(win) + F.col("_cum_start"))
+        .filter(F.col("_run") <= max_tokens)
+        .drop("_run")
+    )
+    return full.unionByName(kept_boundary).drop("_bkt", "_bounds", "_cum_start", "_cum_end")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

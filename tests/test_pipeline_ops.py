@@ -806,3 +806,47 @@ def test_ngram_repetition_gopher_signals(spark):
         assert out[i] == ref(t, 2), (i, out[i], ref(t, 2))
     # the spammy doc is flagged, the diverse doc is not
     assert out[0][1] > 0.8 and out[1][1] == 0.0
+
+
+def test_cap_tokens_per_stratum_matches_prefix_reference(spark):
+    """Token-budget capping vs a plain-pandas prefix reference on skewed
+    strata: exact prefix semantics (row kept iff running total incl.
+    itself fits), boundary mid-bucket, fully-fitting stratum, a stratum
+    whose first row already overflows, and NULL tokens as 0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from phphll_spark.operators import cap_tokens_per_stratum
+
+    rng = random.Random(3)
+    rows = []
+    # skewed stratum: 3000 docs, varying tokens
+    rows += [(i, "big", rng.randint(1, 50)) for i in range(3000)]
+    # small stratum fully under budget
+    rows += [(10_000 + i, "small", 5) for i in range(10)]
+    # stratum whose first row overflows the budget alone
+    rows += [(20_000, "fat", 99_999), (20_001, "fat", 1)]
+    # NULL tokens count as zero
+    rows += [(30_000 + i, "nullish", None if i % 2 else 7) for i in range(20)]
+    budget = 20_000
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int").repartition(8)
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_tokens_per_stratum(df, "doc_id", "source", "n_tok", budget).collect()
+    }
+
+    expect = set()
+    by_stratum: dict = {}
+    for i, s, t in rows:
+        by_stratum.setdefault(s, []).append((i, t or 0))
+    for s, items in by_stratum.items():
+        run = 0
+        for i, t in sorted(items):
+            run += t
+            if run <= budget:
+                expect.add((s, i))
+    assert got == expect
+    # sanity: the boundary really bit (big stratum partially kept)
+    kept_big = sum(1 for s, _ in got if s == "big")
+    assert 0 < kept_big < 3000
