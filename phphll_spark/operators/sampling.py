@@ -83,6 +83,42 @@ def cap_per_stratum(
     )
 
 
+def sample_k_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic UNIFORM k-sample per stratum: keep the k rows whose
+    salted md5(id) sorts smallest — uniform because the hash order is
+    independent of data order, reproducible across runs/partitionings/
+    engines, and re-salting draws an independent sample. The 'pull k
+    docs per source for eval' step.
+
+    Same two-phase skew-safe shape as cap_per_stratum (salted partial
+    top-k, then exact re-rank of the bounded candidates), ordered by the
+    hash instead of the id; ``id_col`` must be unique (ties broken by
+    id)."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    sb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(F.col("_ord"), F.col(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(F.col("_ord"), F.col(id_col))
+    return (
+        df.withColumn("_ord", order)
+        .withColumn("_salt", sb)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt", "_ord")
+    )
+
+
 def cap_tokens_per_stratum(
     df: DataFrame,
     id_col: str,

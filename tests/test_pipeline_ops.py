@@ -850,3 +850,65 @@ def test_cap_tokens_per_stratum_matches_prefix_reference(spark):
     # sanity: the boundary really bit (big stratum partially kept)
     kept_big = sum(1 for s, _ in got if s == "big")
     assert 0 < kept_big < 3000
+
+
+def test_sample_k_per_stratum_deterministic_uniform(spark):
+    """k-sample per stratum = the k smallest salted md5(id): matches the
+    hashlib reference, is partitioning-invariant, and re-salting draws a
+    different (but again deterministic) sample."""
+    import hashlib
+
+    from phphll_spark.operators import sample_k_per_stratum
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def ref(salt, k=5):
+        by = {}
+        for i, s in rows:
+            by.setdefault(s, []).append((hashlib.md5(f"{i}{salt}".encode()).hexdigest(), i))
+        return {(s, i) for s, lst in by.items() for _, i in sorted(lst)[:k]}
+
+    got_a = {
+        (r["source"], r["doc_id"])
+        for r in sample_k_per_stratum(df, "doc_id", "source", 5, salt="a").collect()
+    }
+    got_a2 = {
+        (r["source"], r["doc_id"])
+        for r in sample_k_per_stratum(df.repartition(13), "doc_id", "source", 5, salt="a").collect()
+    }
+    got_b = {
+        (r["source"], r["doc_id"])
+        for r in sample_k_per_stratum(df, "doc_id", "source", 5, salt="b").collect()
+    }
+    assert got_a == ref("a")
+    assert got_a == got_a2
+    assert got_b == ref("b") and got_b != got_a
+
+
+def test_theta_intersection_estimation_regime():
+    """Kernel-level: theta intersection in the ESTIMATION regime stays
+    within a 6/sqrt(k-1)-of-union bound of the true overlap."""
+    import math
+
+    import numpy as np
+
+    from phphll_spark import kernel
+    from phphll_spark.sketches.theta import (
+        _THETA_ONE,
+        theta_estimate_state,
+        theta_fold,
+        theta_intersect_state,
+    )
+
+    k = 4096
+    def sketch(vals):
+        data, offsets = kernel.bytes_to_buffers([v.encode() for v in vals])
+        hashes = kernel.murmur64a(data, offsets)
+        return theta_fold(np.empty(0, np.uint64), _THETA_ONE, hashes, k)
+
+    a = sketch([f"x{i}" for i in range(60_000)])
+    b = sketch([f"x{i}" for i in range(40_000, 100_000)])
+    true_inter, union = 20_000, 100_000
+    est = theta_estimate_state(*theta_intersect_state(a, b))
+    assert abs(est - true_inter) <= 6 / math.sqrt(k - 1) * union, est
