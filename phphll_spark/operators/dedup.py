@@ -83,7 +83,13 @@ def _grouped_buckets(
     filter guarded pair count but not memory). The anti-join is broadcast
     (map-side), so the bucket rows still reach the collect through ONE
     shuffle; the rows are persisted by the caller so the narrow signature
-    pass feeding them runs once, not once per aggregate."""
+    pass feeding them runs once, not once per aggregate.
+
+    Broadcast size bound: ≤ bands·(n / max_bucket_size) oversized keys —
+    small for any sane corpus (an oversized bucket needs max_bucket_size
+    colliding docs). If a pathological corpus could push that past the
+    broadcast limit, drop the hint and let AQE pick the join side at
+    runtime."""
     if max_bucket_size is not None:
         oversized = (
             rows.groupBy(*bucket_cols)

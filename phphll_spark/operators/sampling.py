@@ -151,6 +151,8 @@ def cap_tokens_per_stratum(
     Rows with NULL tokens count as 0; ``id_col`` must be unique."""
     from pyspark.sql import Window
 
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2 (one boundary minimum)")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(strata_col).agg(
         F.percentile_approx(id_col, probs, 10_000).alias("_bounds")
