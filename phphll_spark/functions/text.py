@@ -213,3 +213,44 @@ def word_shingles(col: Column | str, k: int = 2) -> Column:
             F.transform(F.sequence(F.lit(0), n - k), lambda i: F.array_join(F.slice(t, i + 1, k), " "))
         )
     )
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL (native parse_url — JVM, codegen);
+    NULL-safe empty string. The per-host grouping key for host-level
+    stats / capping over Common-Crawl-style tables."""
+    return F.lower(F.coalesce(F.parse_url(_c(col), F.lit("HOST")), F.lit("")))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical URL form for exact URL-level dedup, entirely in native
+    expressions (JVM, codegen — no UDF):
+
+    - scheme + host lowercased; default ports (:80/:443) dropped
+    - fragment (#...) dropped
+    - query parameters SORTED by full `k=v` text (param order is
+      presentation noise; duplicate keys keep all values, stably)
+    - trailing slash on a bare path normalized away
+
+    Semantics-preserving for the common cases; intentionally does NOT
+    decode percent-escapes or resolve dot-segments (those change
+    identity on some servers — the standard conservative choice)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    scheme = F.lower(F.coalesce(F.parse_url(c, F.lit("PROTOCOL")), F.lit("http")))
+    host = F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")))
+    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/\?#]*?:(\d+)", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+    )

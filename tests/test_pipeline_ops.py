@@ -912,3 +912,35 @@ def test_theta_intersection_estimation_regime():
     true_inter, union = 20_000, 100_000
     est = theta_estimate_state(*theta_intersect_state(a, b))
     assert abs(est - true_inter) <= 6 / math.sqrt(k - 1) * union, est
+
+
+def test_canonical_url_and_host(spark):
+    """URL canonicalization (native expressions): case, default ports,
+    fragments, query order, trailing slash — equal canonical forms for
+    equivalent URLs, distinct for genuinely different ones."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.functions.text import canonical_url, url_host
+
+    pairs = [
+        # (a, b, equal?)
+        ("HTTP://Example.COM/path?b=2&a=1", "http://example.com/path?a=1&b=2", True),
+        ("https://example.com:443/x", "https://example.com/x", True),
+        ("http://example.com:80/x#frag", "http://example.com/x", True),
+        ("http://example.com/", "http://example.com", True),
+        ("http://example.com:8080/x", "http://example.com/x", False),
+        ("http://example.com/x?a=1", "http://example.com/x?a=2", False),
+        ("http://example.com/X", "http://example.com/x", False),  # path case matters
+    ]
+    rows = [(i, a, b) for i, (a, b, _) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    got = {
+        r["i"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "i", canonical_url("a").alias("ca"), canonical_url("b").alias("cb")
+        ).collect()
+    }
+    for i, (_, _, eq) in enumerate(pairs):
+        assert (got[i][0] == got[i][1]) is eq, (i, got[i])
+    hosts = df.select(url_host("a").alias("h")).collect()
+    assert all(r["h"] == "example.com" for r in hosts)
