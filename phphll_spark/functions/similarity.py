@@ -118,12 +118,16 @@ def _word_shingle_windows_from_buffers(
     lo = int(doc_off[0])
     hi = int(doc_off[-1] + doc_lens[-1])
     seg = buf[lo:hi]
+    if len(seg) == 0:  # every doc empty
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(len(doc_off), np.int64)
     nonspace = seg != 0x20
     prev_is_space = np.empty(len(seg), dtype=bool)
-    if len(seg):
-        prev_is_space[0] = True
-        np.equal(seg[:-1], 0x20, out=prev_is_space[1:])
-    prev_is_space[doc_off - lo] = True  # doc boundaries restart words
+    prev_is_space[0] = True
+    np.equal(seg[:-1], 0x20, out=prev_is_space[1:])
+    # doc boundaries restart words; an empty doc's offset coincides with
+    # the next doc's start (or the buffer end — clip those)
+    bnd = doc_off - lo
+    prev_is_space[bnd[bnd < len(seg)]] = True
     wstart = np.flatnonzero(nonspace & prev_is_space).astype(np.int64) + lo
     g0 = np.searchsorted(wstart, doc_off)
     gend = np.searchsorted(wstart, doc_off + doc_lens)

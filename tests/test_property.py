@@ -84,3 +84,118 @@ def test_windows_hash_matches_scalar(items):
     batched = kernel.murmur64a(data, offsets)
     for i, it in enumerate(items):
         assert int(batched[i]) == kernel.hash_one(it)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: word/char shingle windows, theta algebra
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=60,
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=6))
+def test_char_windows_match_python_reference(texts, k):
+    """Char k-gram windows over the UTF-8 buffer == Python slicing over
+    code points, for arbitrary unicode (incl. astral plane), any k."""
+    from phphll_spark.functions.similarity import (
+        _char_shingle_windows_from_buffers,
+        _docs_to_buffers,
+    )
+
+    bs = [t.encode("utf-8") for t in texts]
+    buf, off, lens = _docs_to_buffers(bs)
+    starts, wlens, counts = _char_shingle_windows_from_buffers(buf, off, lens, k)
+    pos = 0
+    for t, c in zip(texts, counts):
+        exp = (
+            []
+            if not t
+            else ([t] if len(t) < k else [t[i : i + k] for i in range(len(t) - k + 1)])
+        )
+        got = []
+        for _ in range(c):
+            s, l = starts[pos], wlens[pos]
+            got.append(bytes(buf[s : s + l]).decode("utf-8"))
+            pos += 1
+        assert got == exp, (t, k, got, exp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdefgh√ü√∂‚Ç¨", min_size=1, max_size=5), max_size=20
+        ),
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_word_windows_match_python_reference(word_lists, n):
+    """Word n-gram windows over normalized text == Python word slicing."""
+    from phphll_spark.functions.similarity import (
+        _docs_to_buffers,
+        _word_shingle_windows_from_buffers,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    bs = [t.encode("utf-8") for t in texts]
+    buf, off, lens = _docs_to_buffers(bs)
+    starts, wlens, counts = _word_shingle_windows_from_buffers(buf, off, lens, n)
+    pos = 0
+    for ws, c in zip(word_lists, counts):
+        exp = (
+            []
+            if not ws
+            else (
+                [" ".join(ws)]
+                if len(ws) < n
+                else [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            )
+        )
+        got = []
+        for _ in range(c):
+            s, l = starts[pos], wlens[pos]
+            got.append(bytes(buf[s : s + l]).decode("utf-8"))
+            pos += 1
+        assert got == exp, (ws, n, got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=8, max_value=256),
+    st.integers(min_value=2, max_value=6),
+)
+def test_theta_split_merge_invariance(seed, n, k, splits):
+    """Theta algebra: folding a random hash stream in arbitrary chunkings
+    and merge orders is bit-identical, and the exact regime is exact."""
+    from phphll_spark.sketches.theta import (
+        _THETA_ONE,
+        theta_estimate_state,
+        theta_fold,
+        theta_merge,
+        theta_serialize,
+    )
+
+    rng = np.random.default_rng(seed)
+    hashes = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    empty = np.empty(0, dtype=np.uint64)
+    whole = theta_fold(empty, _THETA_ONE, hashes, k)
+    chunks = np.array_split(hashes, splits)
+    states = [theta_fold(empty, _THETA_ONE, ch, k) for ch in chunks]
+    order = rng.permutation(len(states))
+    acc = states[order[0]]
+    for i in order[1:]:
+        acc = theta_merge(acc, states[i], k)
+    assert theta_serialize(*whole, k) == theta_serialize(*acc, k)
+    distinct = len(np.unique(hashes))
+    if distinct <= k:
+        assert theta_estimate_state(*whole) == distinct
