@@ -406,3 +406,30 @@ def test_theta_fold_merge_property():
     c = run(5, [4, 2, 0, 3, 1])
     d = run(9, list(range(9))[::-1])
     assert a == b == c == d
+
+
+def test_theta_codec_roundtrip_and_validation():
+    """THTA wire framing: roundtrip identity, corrupt blobs rejected."""
+    import numpy as np
+    import pytest
+
+    from phphll_spark.sketches.theta import (
+        InvalidThetaError,
+        _THETA_ONE,
+        theta_deserialize,
+        theta_serialize,
+    )
+
+    entries = np.array([5, 1, 9, 2**63], dtype=np.uint64)
+    blob = theta_serialize(entries, np.uint64(2**62), 128)
+    e, t, k = theta_deserialize(blob)
+    assert list(e) == sorted(entries.tolist()) and int(t) == 2**62 and k == 128
+    # empty sketch
+    e2, t2, k2 = theta_deserialize(theta_serialize(np.empty(0, np.uint64), _THETA_ONE, 16))
+    assert len(e2) == 0 and t2 == _THETA_ONE and k2 == 16
+    with pytest.raises(InvalidThetaError):
+        theta_deserialize(b"NOPE" + blob[4:])
+    with pytest.raises(InvalidThetaError):
+        theta_deserialize(blob[:-3])  # truncated payload
+    with pytest.raises(InvalidThetaError):
+        theta_deserialize(b"")
