@@ -119,6 +119,53 @@ def sample_k_per_stratum(
     )
 
 
+def weighted_sample_k_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic weighted k-sample per stratum (probability ∝
+    ``weight_col``) via the Efraimidis–Spirakis A-ES scheme: each row
+    gets key u^(1/w) with u a salted-hash uniform in (0,1); the k largest
+    keys are a weighted sample without replacement. Deterministic,
+    partitioning/engine-invariant, independent re-draws per salt — e.g.
+    'sample docs for inspection proportional to token count'.
+
+    Implemented as -ln(u)/w ascending (same order as u^(1/w) descending,
+    numerically safer); rows with weight ≤ 0/NULL never selected. Same
+    salted two-phase top-k shape as cap_per_stratum; ``id_col`` unique."""
+    from pyspark.sql import Window
+
+    # u in (0,1): 52-bit mantissa from md5 — reproducible everywhere
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(
+        w > 0, -F.log(F.greatest(u, F.lit(1e-300))) / w
+    ).otherwise(F.lit(float("inf")))
+    sb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(F.col("_key"), F.col(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .filter(F.col("_key") != float("inf"))
+        .withColumn("_salt", sb)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt", "_key")
+    )
+
+
 def cap_tokens_per_stratum(
     df: DataFrame,
     id_col: str,

@@ -944,3 +944,53 @@ def test_canonical_url_and_host(spark):
         assert (got[i][0] == got[i][1]) is eq, (i, got[i])
     hosts = df.select(url_host("a").alias("h")).collect()
     assert all(r["h"] == "example.com" for r in hosts)
+
+
+def test_weighted_sample_k_per_stratum(spark):
+    """A-ES weighted sampling: matches a hashlib reference exactly, is
+    partitioning-invariant, skips non-positive/NULL weights, and heavy
+    rows really are favored over many salts."""
+    import hashlib
+    import math
+
+    from phphll_spark.operators import weighted_sample_k_per_stratum
+
+    rows = [(i, "s", (i % 7) + 1) for i in range(200)] + [
+        (1000, "s", None),
+        (1001, "s", 0),
+        (2000, "t", 500),
+        (2001, "t", 1),
+        (2002, "t", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+
+    def ref(salt, k=6):
+        by = {}
+        for i, s, w in rows:
+            if not w or w <= 0:
+                continue
+            u = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:13], 16) / 16**13
+            key = -math.log(max(u, 1e-300)) / w
+            by.setdefault(s, []).append((key, i))
+        return {(s, i) for s, lst in by.items() for _, i in sorted(lst)[:k]}
+
+    got = {
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_k_per_stratum(df, "doc_id", "source", "w", 6, salt="x").collect()
+    }
+    got_rep = {
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_k_per_stratum(
+            df.repartition(11), "doc_id", "source", "w", 6, salt="x"
+        ).collect()
+    }
+    assert got == ref("x") and got == got_rep
+    assert ("s", 1000) not in got and ("s", 1001) not in got
+    # the 500x-weight row appears in (almost) every draw
+    hits = sum(
+        1
+        for salt in "abcdefghij"
+        if (2000 in {r["doc_id"] for r in weighted_sample_k_per_stratum(
+            df, "doc_id", "source", "w", 1, salt=salt).collect()})
+    )
+    assert hits >= 9
