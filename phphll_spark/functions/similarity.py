@@ -424,6 +424,88 @@ def with_ngram_repetition(
     return df.mapInArrow(gen, schema=schema)
 
 
+def unigram_vocab(
+    df: DataFrame, text_col: str, *, max_vocab: int = 65536
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Corpus unigram statistics for surprisal scoring: the ``max_vocab``
+    most frequent lowercased tokens as (sorted murmur64 hashes, aligned
+    counts, total token count N). One explode + hash agg over the corpus
+    (top-V collect is V rows to the driver — the broadcastable model)."""
+    from .text import tokens
+
+    counts = (
+        df.select(F.explode(F.transform(tokens(text_col), F.lower)).alias("t"))
+        .groupBy("t")
+        .count()
+    )
+    total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    top = counts.orderBy(F.desc("count"), F.asc("t")).limit(max_vocab).collect()
+    toks = [r["t"].encode() for r in top]
+    cnts = np.array([r["count"] for r in top], dtype=np.int64)
+    if not toks:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), 0
+    data, offsets = kernel.bytes_to_buffers(toks)
+    hashes = kernel.murmur64a(data, offsets)
+    order = np.argsort(hashes)
+    return hashes[order], cnts[order], int(total)
+
+
+def with_unigram_surprisal(
+    df: DataFrame,
+    text_col: str,
+    vocab: tuple[np.ndarray, np.ndarray, int],
+    *,
+    out_col: str = "surprisal",
+    oov_count: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean unigram surprisal −mean(ln p(token)) — the lib-free
+    stand-in for CCNet-style LM-perplexity quality filtering: fluent text
+    built from frequent tokens scores LOW, gibberish/rare-token text
+    scores HIGH, and thresholding on the score is the filter.
+
+    ``vocab`` comes from :func:`unigram_vocab` (broadcast by closure:
+    ≤65k hashes + counts ≈ 1 MB); p(token) = count/N for in-vocab,
+    ``oov_count``/N for out-of-vocab. Scoring is one narrow mapInArrow
+    pass: word windows (n=1) over normalized lowercased text share the
+    shingle machinery, one murmur sweep, one ``searchsorted`` lookup per
+    batch — no per-row Python, no join, no shuffle. Empty docs score
+    0.0; rounded half-up to 4 (portable rule)."""
+    import pyarrow as pa
+
+    vhash, vcount, total = vocab
+    if total <= 0:
+        total = 1
+    logp = np.log(vcount.astype(np.float64) / total)
+    oov_logp = float(np.log(oov_count / total))
+    fields = list(df.schema.fields) + [StructField(out_col, DoubleType(), False)]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            starts, wlens, counts = _word_shingle_windows_from_buffers(buf, off, lens, 1)
+            n = rb.num_rows
+            score = np.zeros(n, dtype=np.float64)
+            if counts.sum():
+                hv = kernel.murmur64a_windows(buf, starts, wlens)
+                pos = np.searchsorted(vhash, hv)
+                pos_c = np.minimum(pos, max(len(vhash) - 1, 0))
+                hit = (len(vhash) > 0) & (vhash[pos_c] == hv) if len(vhash) else np.zeros(len(hv), bool)
+                tok_lp = np.where(hit, logp[pos_c] if len(vhash) else 0.0, oov_logp)
+                doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+                sums = np.bincount(doc_ids, weights=-tok_lp, minlength=n)
+                nz = counts > 0
+                score[nz] = sums[nz] / counts[nz]
+                score = np.floor(score * 1e4 + 0.5) / 1e4
+            col = pa.array(score)
+            out_schema = rb.schema.append(pa.field(out_col, pa.float64(), nullable=False))
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
+
+    return df.mapInArrow(gen, schema=schema)
+
+
 def with_simhash(df: DataFrame, text_col: str, *, shingle_k: int = 4, out_col: str = "simhash") -> DataFrame:
     """Append a 64-bit SimHash fingerprint column (narrow, vectorized)."""
     import pyarrow as pa

@@ -994,3 +994,53 @@ def test_weighted_sample_k_per_stratum(spark):
             df, "doc_id", "source", "w", 1, salt=salt).collect()})
     )
     assert hits >= 9
+
+
+def test_unigram_surprisal_matches_reference_and_ranks_quality(spark):
+    """Unigram surprisal (CCNet-perplexity stand-in): matches a Python
+    reference bit-for-bit (same counts, same smoothing, same rounding),
+    and ranks frequent-token text below rare/OOV-token text."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from phphll_spark.functions.similarity import unigram_vocab, with_unigram_surprisal
+    from phphll_spark.functions.text import normalized_text
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "the cat and the dog"),
+        (3, "zyzzyva qwerty flurble"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    norm = df.withColumn("_n", F.lower(normalized_text("text")))
+    vocab = unigram_vocab(df, "text", max_vocab=10)
+    scored = {
+        r["doc_id"]: r["surprisal"]
+        for r in with_unigram_surprisal(norm, "_n", vocab).collect()
+    }
+
+    # python reference with identical rules
+    from collections import Counter
+
+    toks = Counter()
+    for _, t in corpus:
+        toks.update(t.lower().split())
+    total = sum(toks.values())
+    top = dict(sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+
+    def ref(t):
+        ws = t.lower().split()
+        if not ws:
+            return 0.0
+        s = sum(
+            -math.log((top[w] if w in top else 0.5) / total) for w in ws
+        ) / len(ws)
+        return math.floor(s * 1e4 + 0.5) / 1e4
+
+    for i, t in corpus:
+        assert scored[i] == ref(t), (i, scored[i], ref(t))
+    assert scored[0] < scored[3]  # fluent < gibberish
+    assert scored[4] == 0.0
