@@ -2,10 +2,13 @@
 
 Implements the operator inventory of SURVEY.md §2 over the driver's parquet
 tables: the HLL sketch family (hll_sketch_agg / hll_merge_agg / hll_count /
-promote / roundtrip / merge-associativity), plus the training-data pipeline
-operators (dedup exact + MinHash-LSH + n-gram Jaccard, text analysis,
-embedding similarity search) — each paired with a DuckDB oracle where the
-semantics are SQL-expressible.
+promote / roundtrip / merge-associativity), the wider mergeable-summary
+family (CMS, Bloom, t-digest, KLL, Misra–Gries, theta set algebra), plus
+the training-data pipeline operators (exact + MinHash-LSH + cluster-level
+dedup, decontamination, sampling/capping, text analysis, embedding
+similarity search) — each paired with a DuckDB oracle where the semantics
+are SQL-expressible. Exactly 50 queries are exported (the driver records
+at most 50 CORRECTNESS rows).
 
 HLL estimates are exact at small per-group cardinalities, but a single
 register collision can shift an estimate by 1 even at n≈80 (observed on
