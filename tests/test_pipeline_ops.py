@@ -24,6 +24,7 @@ from phphll_spark.operators import (
     extract_features,
     make_fake_media_df,
     ngram_jaccard_pairs,
+    release_cached,
     sign_lsh_buckets,
     simhash_near_dup_pairs,
 )
@@ -134,6 +135,28 @@ def test_dedup_minhash_finds_planted_pairs(spark, neardup_docs):
     assert all(b - a == 1 and a % 2 == 0 for a, b in got)  # no false positives
     for r in pairs:
         assert r["jaccard_sim"] >= 0.7
+
+
+def test_dedup_minhash_sig_prefilter_preserves_pairs(spark, neardup_docs):
+    """The signature-agreement prefilter (6σ below threshold, integer
+    match-count compare) must not change the verified pair set — it only
+    prunes band-collision candidates whose estimated similarity is far
+    below threshold before the heavy shingle-verification join (measured
+    at sf0.1: 103,177 candidates → 258, output identical)."""
+    kw = dict(threshold=0.7, num_hashes=64, bands=16)
+    with_pref = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup_minhash(neardup_docs, "doc_id", "text", **kw).collect()
+    )
+    release_cached(spark)
+    without = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup_minhash(
+            neardup_docs, "doc_id", "text", sig_prefilter_sigmas=None, **kw
+        ).collect()
+    )
+    release_cached(spark)
+    assert with_pref == without and len(with_pref) >= 20
 
 
 def test_ngram_jaccard_exact_baseline(spark, neardup_docs):
