@@ -18,6 +18,8 @@ Scale notes (10^12-doc design):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.similarity import (
@@ -249,8 +251,6 @@ def dedup_minhash(
         sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
     )
     if sig_prefilter_sigmas is not None:
-        import math
-
         sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
         k_min = max(0, math.ceil((threshold - sig_prefilter_sigmas * sigma) * num_hashes))
         matches = F.aggregate(
