@@ -440,8 +440,18 @@ def ivf_ensure_index(
     import shutil
     import uuid
 
+    files = sorted(corpus.inputFiles())
+    if not files:
+        # non-file-backed corpus (in-memory frame, view): the metadata
+        # fingerprint would be DATA-INDEPENDENT, so two different corpora
+        # with the same quantizer would silently share an index. Build at
+        # a per-call unique path instead — correctness over caching.
+        os.makedirs(cache_root, exist_ok=True)
+        adhoc = os.path.join(cache_root, f"ivf-adhoc-{uuid.uuid4().hex[:16]}")
+        ivf_build_index(corpus, id_col, vec_col, centroids=centroids, path=adhoc)
+        return adhoc
     meta = []
-    for f in sorted(corpus.inputFiles()):
+    for f in files:
         local = f[len("file:"):].lstrip("/") if f.startswith("file:") else f
         local = "/" + local if not local.startswith("/") else local
         try:

@@ -258,13 +258,17 @@ def dedup_minhash(
             F.lit(0),
             lambda acc, v: acc + v,
         )
+        # the candidate-pair frame (tiny after banding) is the BROADCAST
+        # side of both signature joins, so the corpus-sized persisted
+        # signature frame is streamed map-side and never exchanged
+        # (VERDICT r03 #3; plan-gated in tests/test_plans.py). If a
+        # pathological corpus ever produced a pair frame too big to
+        # broadcast, drop the hints and let AQE pick sides at runtime.
+        sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("m_a"))
+        sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("m_b"))
+        with_a = sig_a.join(F.broadcast(pairs), "id_a")
         pairs = (
-            pairs.join(
-                sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("m_a")), "id_a"
-            )
-            .join(
-                sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("m_b")), "id_b"
-            )
+            sig_b.join(F.broadcast(with_a), "id_b")
             .filter(matches >= F.lit(int(k_min)))
             .select("id_a", "id_b")
         )
@@ -277,7 +281,11 @@ def dedup_minhash(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    src = _with_min_parallelism(df.select(id_col, text_col)).join(cand_ids, id_col, "left_semi")
+    # broadcast the (tiny) candidate id list: the corpus-sized src frame
+    # is filtered map-side, never shuffled for this semi-join
+    src = _with_min_parallelism(df.select(id_col, text_col)).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
     # exact verification on hashed shingle SETS (murmur64 of normalized
     # windows, sorted unique, Arrow-native) — same Jaccard as string
     # shingles up to 64-bit collisions, ~10x faster than building JVM
@@ -370,35 +378,52 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     shingle_k: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dups with Hamming distance <= max_hamming (<=3).
 
-    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit chunks;
-    any pair within distance 3 agrees exactly on >=1 chunk, so an
-    equi-join per chunk finds all of them with no cross product."""
-    fp = with_simhash(df.select(id_col, text_col), text_col, shingle_k=shingle_k).select(id_col, "simhash")
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit
+    chunks; any pair within distance 3 agrees exactly on >=1 chunk, so
+    grouping each (chunk_idx, chunk) cell finds all of them with no
+    cross product. Candidates expand in-cell via the same native nested
+    transform as the MinHash path (one shuffle, no self-join), then
+    verify against the fingerprints with the tiny pair frame broadcast.
+
+    ``max_bucket_size`` (VERDICT r03 #2): a cell's expected size is
+    ~n/65536 per chunk value, but a boilerplate-heavy corpus — or any
+    cluster sharing one 16-bit fingerprint slice — makes a cell
+    quadratic with nothing bounding it. When set, oversized cells are
+    pre-counted and broadcast anti-joined out BEFORE their ids are
+    collected (_grouped_buckets — bounded executor memory AND pair
+    count), exactly like the MinHash and embedding blockers. Run exact
+    dedup first at web scale so cell size tracks true near-dup density
+    rather than copy count."""
+    release_cached(df.sparkSession)
+    fp = _register_cache(
+        with_simhash(_with_min_parallelism(df.select(id_col, text_col)), text_col, shingle_k=shingle_k)
+        .select(id_col, "simhash")
+        .persist()
+    )
     chunks = fp.select(
         id_col,
-        "simhash",
         F.posexplode(
             F.array(*[(F.shiftrightunsigned(F.col("simhash"), s) % F.lit(65536)).cast("int") for s in (0, 16, 32, 48)])
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
+    grouped = _grouped_buckets(chunks, ["chunk_idx", "chunk"], id_col, max_bucket_size)
+    pairs = (
+        grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    # pairs (and pairs+sh_a) stay the broadcast side of both joins: the
+    # corpus-sized fingerprint frame is streamed, never shuffled
+    with_a = fa.join(F.broadcast(pairs), "id_a")
+    return (
+        fb.join(F.broadcast(with_a), "id_b")
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

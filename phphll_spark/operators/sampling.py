@@ -195,7 +195,11 @@ def cap_tokens_per_stratum(
        exactly with a cumsum window, charged from its bucket's exact
        starting offset.
 
-    Rows with NULL tokens count as 0; ``id_col`` must be unique."""
+    Rows with NULL tokens count as 0; ``id_col`` must be unique and
+    NUMERIC (``percentile_approx`` computes the bucket boundaries).
+    A NULL stratum is budgeted like any other stratum (the bounds join
+    is null-safe) — consistent with ``cap_per_stratum``, where
+    ``Window.partitionBy`` already treats NULL as its own group."""
     from pyspark.sql import Window
 
     if n_buckets < 2:
@@ -203,9 +207,11 @@ def cap_tokens_per_stratum(
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.groupBy(strata_col).agg(
         F.percentile_approx(id_col, probs, 10_000).alias("_bounds")
-    )
+    ).withColumnRenamed(strata_col, "_strat_b")
     tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
-    src = df.join(F.broadcast(bounds), strata_col).withColumn(
+    src = df.join(
+        F.broadcast(bounds), F.col(strata_col).eqNullSafe(F.col("_strat_b"))
+    ).drop("_strat_b").withColumn(
         "_bkt",
         F.aggregate(
             F.col("_bounds"),
@@ -218,9 +224,17 @@ def cap_tokens_per_stratum(
     cums = (
         sums.withColumn("_cum_end", F.sum("_tok").over(wb))
         .withColumn("_cum_start", F.col("_cum_end") - F.col("_tok"))
-        .select(strata_col, "_bkt", "_cum_start", "_cum_end")
+        .select(
+            F.col(strata_col).alias("_strat_c"),
+            F.col("_bkt").alias("_bkt_c"),
+            "_cum_start",
+            "_cum_end",
+        )
     )
-    j = src.join(F.broadcast(cums), [strata_col, "_bkt"])
+    j = src.join(
+        F.broadcast(cums),
+        F.col(strata_col).eqNullSafe(F.col("_strat_c")) & (F.col("_bkt") == F.col("_bkt_c")),
+    ).drop("_strat_c", "_bkt_c")
     full = j.filter(F.col("_cum_end") <= max_tokens)
     boundary = j.filter((F.col("_cum_start") < max_tokens) & (F.col("_cum_end") > max_tokens))
     win = Window.partitionBy(strata_col, "_bkt").orderBy(F.col(id_col))

@@ -20,7 +20,6 @@ def test_contract_keys_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "simhash_docs",
-        "minhash_signatures_docs",
         "multimodal_features",
     }
     # the driver records at most 50 rows — every exported query must land

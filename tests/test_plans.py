@@ -211,3 +211,77 @@ def test_ivf_ensure_index_builds_once(spark, tmp_path_factory):
         emb, "vec_id", "embedding", centroids=kmeans_centroids(train, 4, seed=7), cache_root=root
     )
     assert p3 != p1
+
+
+def test_minhash_prefilter_never_exchanges_signatures(spark):
+    """VERDICT r03 #3: the signature-agreement prefilter joins broadcast
+    the (tiny) candidate-pair frame, so the corpus-sized signature frame
+    is streamed map-side — no Exchange in the plan may carry a minhash
+    signature column (m_a/m_b/minhash)."""
+    from phphll_spark.operators import dedup_minhash, release_cached
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup_minhash(docs, "doc_id", "text", threshold=0.8, num_hashes=16, bands=8)
+    plan = _plan(pairs, "formatted")
+    release_cached(spark)
+    # formatted mode: each node is "(n) Name" followed by an "Input"
+    # (or Output) column list — collect the Input lines of SHUFFLE
+    # Exchange nodes (a BroadcastExchange of the pairs-side frame with
+    # one signature attached is the intended broadcast, not a shuffle
+    # of the corpus-sized signature frame)
+    lines = plan.splitlines()
+    bad = []
+    for i, l in enumerate(lines):
+        if ") Exchange" in l:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Input"):
+                    cols = lines[j]
+                    if "m_a" in cols or "m_b" in cols or "minhash" in cols:
+                        bad.append((l, cols))
+    assert not bad, bad
+
+
+def test_simhash_pairs_no_self_join_guarded_shape(spark):
+    """VERDICT r03 #2: simhash candidates come from grouped (chunk_idx,
+    chunk) cells with in-cell pair expansion — no cartesian/nested-loop
+    join, no SortMergeJoin over the fingerprint frame, and the pair frame
+    broadcasts into verification."""
+    from phphll_spark.operators import release_cached
+    from phphll_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=1000)
+    plan = _plan(df, "simple")
+    release_cached(spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_ensure_index_adhoc_for_memory_corpus(spark, tmp_path_factory):
+    """ADVICE r03: a non-file-backed corpus has no input-file metadata to
+    fingerprint — two different in-memory corpora with the same quantizer
+    must NOT share an index (per-call unique path fallback)."""
+    import numpy as np
+
+    from phphll_spark.operators import ivf_ensure_index, kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    c1 = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    c2 = spark.createDataFrame(
+        [(1000 + i, rng.standard_normal(8).tolist()) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(rng.standard_normal((32, 8)), 4, seed=3)
+    root = str(tmp_path_factory.mktemp("ivfadhoc"))
+    p1 = ivf_ensure_index(c1, "vec_id", "embedding", centroids=cents, cache_root=root)
+    p2 = ivf_ensure_index(c2, "vec_id", "embedding", centroids=cents, cache_root=root)
+    assert p1 != p2
+    # the materialized index schema is (centroid, id, vec)
+    ids1 = {r["id"] for r in spark.read.parquet(p1).collect()}
+    ids2 = {r["id"] for r in spark.read.parquet(p2).collect()}
+    assert ids1 == set(range(64)) and ids2 == {1000 + i for i in range(64)}
