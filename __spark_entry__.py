@@ -22,6 +22,7 @@ hyperloglog.c:1610-1667) — both sides SQL-checkable.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -884,11 +885,67 @@ def q_session_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, "user_id", "ts", gap_seconds=1800)
 
 
-def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.countDistinct("user_id").alias("dau"),
-        F.count("*").alias("n_events"),
+def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch equivalence for the HLL snapshot sink, recordable
+    against a plain SQL oracle (VERDICT r03 #7): the events table is split
+    into 4 parquet files, replayed as 4 file-source micro-batches
+    (maxFilesPerTrigger=1, availableNow) through
+    ``foreach_batch_sketch_sink`` — 4 incremental snapshot merges + atomic
+    pointer swaps — and the final snapshot's per-day estimates are compared
+    with the one-shot batch sketch. Merge associativity/idempotence
+    (hyperloglog.c:1038-1077) makes the equality EXACT regardless of how
+    rows were split into batches, so ``stream_eq_batch`` is deterministic;
+    the oracle pins it (and the 6σ bound vs exact DAU) to TRUE. The ≤31-row
+    snapshot is collected so the streaming scratch dir can be removed
+    before returning."""
+    import shutil
+    import tempfile
+
+    from phphll_spark.streaming.stream import (
+        foreach_batch_sketch_sink,
+        read_sketch_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    )
+    work = tempfile.mkdtemp(prefix="phphll_stream_eq_")
+    try:
+        src = os.path.join(work, "src")
+        ev.repartition(4).write.parquet(src)
+        table = os.path.join(work, "snap")
+        stream = (
+            spark.readStream.schema("day date, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_sketch_sink(["day"], "uid", table))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap_rows = (
+            read_sketch_table(spark, table)
+            .select("day", hll_count_sketch(F.col("sketch")).alias("stream_est"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    snap = spark.createDataFrame(snap_rows, "day date, stream_est long")
+    batch = hll_count_distinct(ev, ["day"], "uid", alias="batch_est")
+    exact = ev.groupBy("day").agg(F.countDistinct("uid").alias("exact_users"))
+    return (
+        F.broadcast(snap)
+        .join(batch, "day")
+        .join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            (F.col("stream_est") == F.col("batch_est")).alias("stream_eq_batch"),
+            _bound_ok(F.col("stream_est"), F.col("exact_users")),
+        )
     )
 
 
@@ -1144,7 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_ivf_recall": q_ann_ivf_recall,
         "session_stats_users": q_session_stats_users,
-        "daily_active_users": q_daily_active_users,
+        "streaming_daily_users_eq": q_streaming_daily_users_eq,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "simhash_docs": q_simhash_docs,
@@ -1626,9 +1683,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(span_s) AS BIGINT) AS total_span_s
             FROM per GROUP BY user_id
         """,
-        "daily_active_users": """
+        # stream_eq_batch is exact by merge associativity/idempotence (the
+        # snapshot sink's 4-micro-batch estimate equals the one-shot batch
+        # estimate byte-for-byte), so the oracle pins it to TRUE.
+        "streaming_daily_users_eq": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                   COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS stream_eq_batch, TRUE AS within_bound
             FROM events GROUP BY 1
         """,
         # FLOOR(x*100 + 0.5)/100 on both sides: Spark F.round (BigDecimal

@@ -39,7 +39,7 @@ HEADLINE = [
     "stratified_sample_stats",
     "cap_per_source_stats",
     "mg_heavy_event_types",
-    "fingerprint_docs",
+    "dedup_url_docs",
     "token_stats_per_lang",
     "quality_score_docs",
     "bpe_token_stats_per_lang",
@@ -48,8 +48,10 @@ HEADLINE = [
     "ann_ivf_recall",
     "simhash_docs",
     "pricing_summary",
-    "daily_active_users",
 ]
+# (streaming_daily_users_eq is deliberately NOT a headline: its wall time
+# is availableNow micro-batch fixed overhead, not engine throughput — the
+# driver's correctness gate still runs it against its oracle.)
 
 
 def main() -> None:

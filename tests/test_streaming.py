@@ -329,3 +329,14 @@ def test_streaming_dedup_exact_first_wins(spark, tmp_path):
     rows = spark.sql("SELECT text FROM dedup_stream").collect()
     texts = sorted(r["text"] for r in rows)
     assert texts == ["a third body", "another unique body", "the same doc body"]
+
+
+def test_streaming_daily_users_eq_query(spark):
+    """The driver's streaming/batch-equivalence query: 4 replayed
+    micro-batches through the snapshot sink must reproduce the one-shot
+    batch estimates exactly (merge associativity), flags all true."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_streaming_daily_users_eq(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["stream_eq_batch"] and r["within_bound"] for r in rows)
