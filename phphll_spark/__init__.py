@@ -18,6 +18,7 @@ from .codec import (
     InvalidSketchError,
     deserialize,
     info,
+    pfadd_blob,
     promote,
     serialize,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "info",
     "merge_registers",
     "murmur64a",
+    "pfadd_blob",
     "php_string",
     "promote",
     "relative_error_bound",

@@ -182,6 +182,204 @@ def decode_sparse(payload: bytes, p: int | None = None) -> np.ndarray:
     return np.repeat(vals_arr, runs_arr)
 
 
+def empty_sparse_payload(p: int = HLL_P_DEFAULT) -> bytes:
+    """Sparse payload of an EMPTY sketch exactly as hllCreate builds it
+    (hyperloglog.c:1083-1113): XZERO opcodes of <=16384 registers each —
+    XZERO even when a ZERO opcode would fit, mirroring the reference."""
+    out = bytearray()
+    aux = m_for_p(p)
+    while aux:
+        chunk = min(aux, SPARSE_XZERO_MAX_LEN)
+        out.append(0x40 | ((chunk - 1) >> 8))
+        out.append((chunk - 1) & 0xFF)
+        aux -= chunk
+    return bytes(out)
+
+
+def _invalidate_cache(blob: bytearray) -> None:
+    """Set the dirty bit on the cached cardinality (HLL_INVALIDATE_CACHE,
+    hyperloglog.c:185: MSB of the little-endian card field = byte 15)."""
+    blob[HDR_SIZE - 1] |= 0x80
+
+
+def _merge_val_runs(blob: bytearray, start: int) -> None:
+    """Step 4 of hllSparseSet (hyperloglog.c:820-860): merge adjacent VAL
+    opcodes with equal value whose combined run fits VAL_MAX_LEN, scanning
+    at most 5 opcodes from ``start`` and re-trying in place after each
+    merge. Mutates ``blob`` (may shrink it)."""
+    p = start
+    scanlen = 5
+    while p < len(blob) and scanlen:
+        scanlen -= 1
+        op = blob[p]
+        if not (op & 0x80):  # ZERO / XZERO: skip
+            p += 2 if (op & 0x40) else 1
+            continue
+        if p + 1 < len(blob) and (blob[p + 1] & 0x80):
+            v1 = ((op >> 2) & 0x1F) + 1
+            v2 = ((blob[p + 1] >> 2) & 0x1F) + 1
+            if v1 == v2:
+                ln = ((op & 0x3) + 1) + ((blob[p + 1] & 0x3) + 1)
+                if ln <= SPARSE_VAL_MAX_LEN:
+                    blob[p + 1] = 0x80 | ((v1 - 1) << 2) | (ln - 1)
+                    del blob[p]  # the reference's memmove-left
+                    continue  # re-try the merged opcode against its right
+        p += 1
+
+
+def sparse_set(blob: bytearray, index: int, count: int, *, max_bytes: int = SPARSE_MAX_BYTES) -> int:
+    """Byte-level in-place register update on a sparse HYLL blob — the RLE
+    splice path of hllSparseSet (hyperloglog.c:632-876) re-derived.
+
+    ``blob`` is the FULL serialized sketch (header + sparse payload) as a
+    mutable bytearray; returns 1 (register raised; blob mutated, cache
+    invalidated), 0 (no change needed), or -1 (caller must promote to
+    dense: count > 32, or the spliced blob would exceed ``max_bytes`` —
+    the reference's ``goto promote``, size checked against the whole sds
+    string i.e. header included). The resulting opcode stream is
+    history-dependent exactly like the reference's (e.g. a run of five
+    equal values may encode VAL4+VAL1 or VAL1+VAL4 depending on insertion
+    order) — byte-parity is tested against the compiled reference C in
+    tests/test_codec.py.
+    """
+    if count > SPARSE_VAL_MAX_VALUE:
+        return -1
+    # Step 1: locate the opcode covering `index`
+    pos, end = HDR_SIZE, len(blob)
+    first = 0
+    prev = -1
+    span = 0
+    while pos < end:
+        op = blob[pos]
+        if op & 0x80:  # VAL
+            oplen, span = 1, (op & 0x3) + 1
+        elif op & 0x40:  # XZERO
+            oplen, span = 2, (((op & 0x3F) << 8) | blob[pos + 1]) + 1
+        else:  # ZERO
+            oplen, span = 1, (op & 0x3F) + 1
+        if index <= first + span - 1:
+            break
+        prev = pos
+        pos += oplen
+        first += span
+    else:
+        raise InvalidSketchError("sparse opcodes do not cover the register index")
+    if span == 0:
+        raise InvalidSketchError("invalid sparse opcode stream")
+
+    op = blob[pos]
+    is_val = bool(op & 0x80)
+    is_xzero = (not is_val) and bool(op & 0x40)
+    is_zero = not is_val and not is_xzero
+    runlen = span
+    oldcount = ((op >> 2) & 0x1F) + 1 if is_val else 0
+
+    # Steps 2-3: trivial in-place overwrites, else splice a split sequence
+    if is_val and oldcount >= count:
+        return 0  # case A
+    if (is_val or is_zero) and runlen == 1:  # cases B and C
+        blob[pos] = 0x80 | ((count - 1) << 2)
+    else:  # case D: split into <=3 opcodes (worst case XZERO-VAL-XZERO)
+        last = first + span - 1
+        seq = bytearray()
+
+        def _zero_opcode(length: int) -> bytes:
+            if length > SPARSE_ZERO_MAX_LEN:
+                return bytes([0x40 | ((length - 1) >> 8), (length - 1) & 0xFF])
+            return bytes([length - 1])
+
+        if is_zero or is_xzero:
+            if index != first:
+                seq += _zero_opcode(index - first)
+            seq.append(0x80 | ((count - 1) << 2))
+            if index != last:
+                seq += _zero_opcode(last - index)
+        else:
+            if index != first:
+                seq.append(0x80 | ((oldcount - 1) << 2) | (index - first - 1))
+            seq.append(0x80 | ((count - 1) << 2))
+            if index != last:
+                seq.append(0x80 | ((oldcount - 1) << 2) | (last - index - 1))
+        oldlen = 2 if is_xzero else 1
+        deltalen = len(seq) - oldlen
+        if deltalen > 0 and len(blob) + deltalen > max_bytes:
+            return -1
+        blob[pos : pos + oldlen] = seq
+
+    # Step 4: merge adjacent equal-VAL opcodes around the edit
+    _merge_val_runs(blob, prev if prev >= 0 else HDR_SIZE)
+    _invalidate_cache(blob)
+    return 1
+
+
+def dense_set(blob: bytearray, index: int, count: int) -> int:
+    """In-place register max-update on a DENSE HYLL blob: read-modify-write
+    of the 6-bit packed register (HLL_DENSE_GET/SET_REGISTER,
+    hyperloglog.c:326-353; max fold hllDenseAdd:479-492). Returns 1 if the
+    register was raised (cache invalidated), else 0."""
+    bit = index * 6
+    byte = HDR_SIZE + (bit >> 3)
+    fb = bit & 7
+    b0 = blob[byte]
+    b1 = blob[byte + 1] if fb > 2 else 0  # register spans 2 bytes iff fb>2
+    old = ((b0 >> fb) | (b1 << (8 - fb))) & 0x3F
+    if old >= count:
+        return 0
+    blob[byte] = (b0 & ~(0x3F << fb) & 0xFF) | ((count << fb) & 0xFF)
+    if fb > 2:
+        blob[byte + 1] = (b1 & ~(0x3F >> (8 - fb))) | (count >> (8 - fb))
+    _invalidate_cache(blob)
+    return 1
+
+
+def pfadd_blob(blob: bytes, elements, p: int | None = None) -> tuple[bytes, bool]:
+    """PFADD against a serialized HYLL blob WITHOUT a full decode/re-encode
+    round-trip — the reference's stored-object update path (pfAdd → hllAdd,
+    hyperloglog.c:1021-1035,1169-1190): sparse blobs take the byte-level
+    RLE splice per element and promote mid-stream on VAL overflow or the
+    3000-byte ceiling; dense blobs take the packed 6-bit read-modify-write.
+
+    Elements are bytes (or str, UTF-8 encoded). Returns (new_blob,
+    updated); the cached cardinality is invalidated iff a register rose,
+    so an unchanged add keeps a clean cache exactly like the reference.
+    """
+    from .kernel import hash_idx_rho, murmur64a, bytes_to_buffers
+
+    if len(blob) < HDR_SIZE or blob[:4] != MAGIC:
+        raise InvalidSketchError("bad magic, expected 'HYLL'")
+    encoding = blob[4]
+    if encoding > ENC_SPARSE:
+        raise InvalidSketchError(f"unknown encoding byte {encoding}")
+    if p is None:
+        if encoding == ENC_DENSE:
+            p = int(len(blob[HDR_SIZE:]) * 8 // 6).bit_length() - 1
+        else:
+            p = int(decode_sparse(blob[HDR_SIZE:], None).size).bit_length() - 1
+    items = [e.encode("utf-8") if isinstance(e, str) else bytes(e) for e in elements]
+    if not items:
+        return blob, False
+    data, offsets = bytes_to_buffers(items)
+    idx, rho = hash_idx_rho(murmur64a(data, offsets), p)
+    buf = bytearray(blob)
+    changed = False
+    for i in range(len(idx)):
+        if encoding == ENC_SPARSE:
+            r = sparse_set(buf, int(idx[i]), int(rho[i]))
+            if r == -1:  # promote, then redo this element dense
+                # header (incl. stale card bytes + dirty bit) is copied
+                # VERBATIM like hllSparseToDense's `*hdr = *oldhdr`
+                regs = decode_sparse(bytes(buf[HDR_SIZE:]), p)
+                buf = bytearray(
+                    bytes(buf[:4]) + bytes([ENC_DENSE]) + bytes(buf[5:HDR_SIZE]) + pack_dense(regs)
+                )
+                encoding = ENC_DENSE
+            else:
+                changed = changed or r == 1
+                continue
+        changed = bool(dense_set(buf, int(idx[i]), int(rho[i]))) or changed
+    return bytes(buf), changed
+
+
 def _header(encoding: int, card: int | None) -> bytes:
     """Header with cached cardinality; ``card=None`` writes the dirty bit
     (hyperloglog.c:78-87,184-186)."""

@@ -75,42 +75,89 @@ class HLL:
     def __init__(self, arg=None, *, p: int = HLL_P_DEFAULT, sparse: bool = False):
         if isinstance(arg, (bytes, bytearray)):  # deserialize-construct
             sk = codec.deserialize(bytes(arg), None)
-            self.regs = sk.regs
-            self._encoding = sk.encoding
+            self._p = sk.p
             self._cached = sk.cached_card
+            if sk.encoding == codec.ENC_SPARSE:
+                # keep the serialized RLE as the LIVE representation —
+                # byte-level continuity with the stored object, like the
+                # reference mutating the loaded sds in place
+                self._sparse_blob: bytearray | None = bytearray(bytes(arg))
+                self._regs = None
+            else:
+                self._sparse_blob = None
+                self._regs = sk.regs
             return
-        self.regs = kernel.empty_registers(p)
-        self._encoding = codec.ENC_SPARSE if sparse else codec.ENC_DENSE
+        self._p = p
         self._cached = 0  # empty sketch counts 0, cache valid
+        if sparse:
+            # hllCreate()'s exact initial bytes (hyperloglog.c:1083-1113)
+            self._sparse_blob = bytearray(
+                codec.MAGIC
+                + bytes([codec.ENC_SPARSE, 0, 0, 0])
+                + (0).to_bytes(8, "little")
+                + codec.empty_sparse_payload(p)
+            )
+            self._regs = None
+        else:
+            self._sparse_blob = None
+            self._regs = kernel.empty_registers(p)
         if arg is not None:  # merge-construct from an iterable of HLLs/bytes
             self.merge(*list(arg))
 
     @property
+    def regs(self) -> np.ndarray:
+        """Raw registers; decoded on demand while the sketch lives in its
+        byte-level sparse form."""
+        if self._sparse_blob is not None:
+            return codec.decode_sparse(bytes(self._sparse_blob[codec.HDR_SIZE:]), self._p)
+        return self._regs
+
+    @regs.setter
+    def regs(self, value: np.ndarray) -> None:
+        self._regs = value
+        self._sparse_blob = None
+        self._p = int(value.size).bit_length() - 1
+
+    @property
     def p(self) -> int:
-        return int(self.regs.size).bit_length() - 1
+        return self._p
 
     def add(self, value) -> bool:
         """Add one element, or each element of a list/tuple; returns True
         iff any register changed (the by-ref ``updated`` flag,
         php/hll.c:618-623). Empty array is a no-op
-        (hll_add_empty_array.phpt)."""
+        (hll_add_empty_array.phpt).
+
+        Sparse sketches take the reference's byte-level RLE splice per
+        element (hllSparseSet, hyperloglog.c:632-876 — see codec.sparse_set)
+        and promote to dense mid-batch on VAL overflow or the 3000-byte
+        ceiling, after which the remainder folds vectorized."""
         values = value if isinstance(value, (list, tuple)) else [value]
         if not values:
             return False
         data, offsets = kernel.bytes_to_buffers([element_bytes(v) for v in values])
-        before = self.regs.copy()
-        kernel.add_bytes(self.regs, data, offsets, self.p)
-        changed = bool((self.regs != before).any())
+        changed = False
+        if self._sparse_blob is not None:
+            idx, rho = kernel.hash_idx_rho(kernel.murmur64a(data, offsets), self._p)
+            for i in range(len(idx)):
+                r = codec.sparse_set(self._sparse_blob, int(idx[i]), int(rho[i]))
+                if r == 1:
+                    changed = True
+                elif r == -1:  # promote (hllSparseToDense) and finish dense
+                    self._regs = codec.decode_sparse(
+                        bytes(self._sparse_blob[codec.HDR_SIZE:]), self._p
+                    )
+                    self._sparse_blob = None
+                    before = self._regs.copy()
+                    kernel.update_registers(self._regs, idx[i:], rho[i:])
+                    changed = changed or bool((self._regs != before).any())
+                    break
+        else:
+            before = self._regs.copy()
+            kernel.add_bytes(self._regs, data, offsets, self._p)
+            changed = bool((self._regs != before).any())
         if changed:
             self._cached = None  # invalidate cache (hyperloglog.c:1184-1188)
-            if self._encoding == codec.ENC_SPARSE:
-                # automatic promotion on VAL overflow / size threshold
-                if int(self.regs.max()) > codec.SPARSE_VAL_MAX_VALUE:
-                    self._encoding = codec.ENC_DENSE
-                else:
-                    sp = codec.encode_sparse(self.regs)
-                    if sp is None or len(sp) > codec.SPARSE_MAX_BYTES:
-                        self._encoding = codec.ENC_DENSE
         return changed
 
     def count(self) -> int:
@@ -138,28 +185,29 @@ class HLL:
                 raise TypeError(f"cannot merge {type(other).__name__}")
             self.regs = kernel.merge_registers(self.regs, other_regs)
         self._cached = None
-        self._encoding = codec.ENC_DENSE
-        return self
+        return self  # merge destinations are dense (regs setter drops RLE)
 
     def promote(self) -> "HLL":
         """Force dense; idempotent (hll_promote.phpt)."""
-        self._encoding = codec.ENC_DENSE
+        if self._sparse_blob is not None:
+            self.regs = codec.decode_sparse(
+                bytes(self._sparse_blob[codec.HDR_SIZE:]), self._p
+            )
         return self
 
     def info(self) -> dict:
-        enc = "dense" if self._encoding == codec.ENC_DENSE else "sparse"
+        enc = "sparse" if self._sparse_blob is not None else "dense"
         return {"encoding": enc}
 
     def dump(self) -> bytes:
         """HYLL bytes honoring the current encoding and cache state
         (php/hll.c:766-791)."""
-        cache = self._cached is not None
-        if self._encoding == codec.ENC_SPARSE:
-            sp = codec.encode_sparse(self.regs)
-            if sp is not None:
-                card = self._cached if cache else kernel.estimate(self.regs)
-                return codec._header(codec.ENC_SPARSE, card) + sp
-        return codec.serialize(self.regs, cache_card=True, force_dense=True)
+        if self._sparse_blob is not None:
+            card = self._cached if self._cached is not None else kernel.estimate(self.regs)
+            return codec._header(codec.ENC_SPARSE, card) + bytes(
+                self._sparse_blob[codec.HDR_SIZE:]
+            )
+        return codec.serialize(self._regs, cache_card=True, force_dense=True)
 
     @classmethod
     def load(cls, blob: bytes) -> "HLL":

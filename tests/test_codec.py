@@ -153,3 +153,153 @@ def test_dense_size_inference():
         blob = codec.serialize(regs)
         sk = codec.deserialize(blob)  # p inferred from payload length
         assert sk.p == p
+
+
+# ---------------------------------------------------------------------------
+# Byte-level in-place mutation (sparse_set / dense_set / pfadd_blob) —
+# the RLE splice path of hllSparseSet (hyperloglog.c:632-876)
+# ---------------------------------------------------------------------------
+
+def _empty_sparse_blob(p=14):
+    """hllCreate()'s exact initial bytes: zero header + XZERO chain
+    (hyperloglog.c:1083-1113; card bytes zero = clean cache of 0)."""
+    return (
+        codec.MAGIC
+        + bytes([codec.ENC_SPARSE, 0, 0, 0])
+        + (0).to_bytes(8, "little")
+        + codec.empty_sparse_payload(p)
+    )
+
+
+def test_empty_sparse_payload_matches_create():
+    # p=14: one XZERO covering all 16384 registers
+    assert codec.empty_sparse_payload(14) == bytes([0x40 | 0x3F, 0xFF])
+    # p=15: two XZERO chunks; p=5 (m=32): XZERO even though ZERO would fit
+    assert codec.empty_sparse_payload(15) == bytes([0x7F, 0xFF, 0x7F, 0xFF])
+    assert codec.empty_sparse_payload(5) == bytes([0x40, 31])
+
+
+def test_pfadd_blob_equivalent_to_kernel_fold():
+    """The byte-splice path (incl. mid-stream promotion to dense) lands on
+    register-identical state vs the vectorized kernel fold."""
+    items = [b"el-%d" % i for i in range(4000)]
+    blob = _empty_sparse_blob()
+    blob, changed = codec.pfadd_blob(blob, items)
+    assert changed
+    assert blob[4] == codec.ENC_DENSE  # 4000 registers forced promotion
+    regs = kernel.empty_registers()
+    data, offsets = kernel.bytes_to_buffers(items)
+    kernel.add_bytes(regs, data, offsets)
+    assert (codec.deserialize(blob).regs == regs).all()
+    # re-adding the same elements is a no-op with the cache untouched
+    blob2, changed2 = codec.pfadd_blob(blob, items)
+    assert not changed2 and blob2 == blob
+
+
+def test_pfadd_blob_sparse_stays_sparse_small():
+    items = [b"w%d" % i for i in range(50)]
+    blob, changed = codec.pfadd_blob(_empty_sparse_blob(), items)
+    assert changed and blob[4] == codec.ENC_SPARSE
+    regs = kernel.empty_registers()
+    data, offsets = kernel.bytes_to_buffers(items)
+    kernel.add_bytes(regs, data, offsets)
+    assert (codec.deserialize(blob).regs == regs).all()
+    # updated add invalidates the cache (dirty bit), like pfAdd
+    assert blob[15] & 0x80
+
+
+def test_pfadd_blob_dense_start():
+    regs = _sketch_with(500)
+    blob = codec.serialize(regs, force_dense=True)
+    blob2, changed = codec.pfadd_blob(blob, [b"new-element-xyz"])
+    assert changed
+    data, offsets = kernel.bytes_to_buffers([b"new-element-xyz"])
+    kernel.add_bytes(regs, data, offsets)
+    assert (codec.deserialize(blob2).regs == regs).all()
+
+
+def test_sparse_set_rho_overflow_requests_promotion():
+    blob = bytearray(_empty_sparse_blob())
+    assert codec.sparse_set(blob, 10, 33) == -1
+    assert codec.sparse_set(blob, 10, 32) == 1  # 32 itself is representable
+
+
+def test_sparse_set_split_and_merge_shapes():
+    """XZERO split, VAL len-1 overwrite, and the adjacent-VAL merge pass."""
+    blob = bytearray(_empty_sparse_blob())
+    assert codec.sparse_set(blob, 100, 5) == 1
+    # XZERO(100) VAL(5,1) XZERO(16283)
+    pay = bytes(blob[16:])
+    assert pay == bytes([0x40, 99, 0x80 | (4 << 2), 0x40 | (16282 >> 8), 16282 & 0xFF])
+    assert codec.sparse_set(blob, 100, 3) == 0  # case A: no lowering
+    assert codec.sparse_set(blob, 100, 7) == 1  # case B: in-place VAL raise
+    assert bytes(blob[16:]) == bytes([0x40, 99, 0x80 | (6 << 2), 0x40 | (16282 >> 8), 16282 & 0xFF])
+    # neighbor at 101 with same value merges into VAL(7,2)
+    assert codec.sparse_set(blob, 101, 7) == 1
+    assert bytes(blob[16:]) == bytes([0x40, 99, 0x80 | (6 << 2) | 1, 0x40 | (16281 >> 8), 16281 & 0xFF])
+
+
+def test_pfadd_blob_byte_parity_vs_compiled_reference():
+    """Gold standard: compile the reference (out-of-tree, from
+    /root/reference) and diff the FULL blob hex after every single add —
+    covers splice, split, merge, promotion timing, cache-dirty bytes and
+    the dense read-modify-write, with history-dependent encodings."""
+    import os
+    import subprocess
+    import tempfile
+
+    ref = "/root/reference"
+    harness = r"""
+#include <stdio.h>
+#include <string.h>
+#include "hyperloglog.h"
+static void dump(hll h) {
+    sds s = h->ptr;
+    size_t len = sdslen(s);
+    for (size_t i = 0; i < len; i++) printf("%02x", (unsigned char)s[i]);
+    printf("\n");
+}
+int main(void) {
+    char buf[4096];
+    hll h = hllCreate();
+    dump(h);
+    while (fgets(buf, sizeof buf, stdin)) {
+        int n = strlen(buf);
+        if (n && buf[n-1] == '\n') n--;
+        sds e = sdsnewlen(buf, n);
+        if (pfAdd(h, e) < 0) { fprintf(stderr, "pfAdd err\n"); return 1; }
+        sdsfree(e);
+        dump(h);
+    }
+    return 0;
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        c = os.path.join(td, "harness.c")
+        exe = os.path.join(td, "harness")
+        with open(c, "w") as f:
+            f.write(harness)
+        try:
+            subprocess.run(
+                ["gcc", "-O2", f"-I{ref}", "-o", exe, c,
+                 f"{ref}/hyperloglog.c", f"{ref}/sds.c", f"{ref}/redis.c", "-lm"],
+                check=True, capture_output=True,
+            )
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            pytest.skip("gcc or reference sources unavailable")
+        items = [f"el-{i}".encode() for i in range(2500)]
+        out = subprocess.run(
+            [exe], input=b"\n".join(items) + b"\n", capture_output=True, check=True
+        )
+        lines = out.stdout.decode().split()
+        assert len(lines) == len(items) + 1
+        blob = _empty_sparse_blob()
+        assert blob.hex() == lines[0], "initial hllCreate bytes differ"
+        promoted_at = None
+        for i, (el, want) in enumerate(zip(items, lines[1:])):
+            blob, _ = codec.pfadd_blob(blob, [el])
+            assert blob.hex() == want, f"divergence after element {i} ({el!r})"
+            if promoted_at is None and blob[4] == codec.ENC_DENSE:
+                promoted_at = i
+        # the stream must actually have exercised the promotion boundary
+        assert promoted_at is not None and promoted_at > 100
