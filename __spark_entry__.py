@@ -285,14 +285,39 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized dedup output: keep the lowest-doc_id row per content
-    fingerprint (the actual training-data-pipeline 'write the cleaned
-    table' step, not just the dup report)."""
-    from phphll_spark.operators import dedup_exact_keep
+def q_dedup_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/line-level exact dedup with document reassembly — the
+    CCNet/RefinedWeb line-dedup stage (`dedup_paragraphs`,
+    operators/dedup.py): every distinct paragraph keeps only its first
+    corpus-wide occurrence (min (doc_id, pos)), docs are rebuilt from the
+    survivors in order. The doc-level keep semantics this replaced in the
+    50-slot record stay covered by `dedup_exact_keep`'s pytest goldens and
+    the `corpus_clean_stats` composition.
 
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_exact_keep(docs, "doc_id", "text").select("doc_id", "lang", "source")
+    The synthetic docs are single-line, so paragraph structure is
+    synthesized deterministically (the dedup_url_docs pattern): each doc's
+    whitespace tokens are chunked into 8-word paragraphs joined by
+    newlines; the oracle reconstructs the same chunks independently via
+    generate_subscripts + integer-division grouping, so a chunking or
+    winner-rule bug on either side breaks the match. ~175 of ~3.6k chunks
+    at sf0.01 are genuine cross-doc duplicates (near-dup docs share runs).
+    """
+    from phphll_spark.operators import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(8)).cast("int"), F.lit(1))
+    para_text = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
+        ),
+    )
+    out = dedup_paragraphs(docs.select("doc_id", para_text.alias("text")), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("dedup_text").alias("dedup_text_md5")
+    )
 
 
 def q_hll_union_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,7 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_price_quantiles_bound": q_kll_price_quantiles_bound,
         "bloom_membership_per_segment": q_bloom_membership_per_segment,
         "dedup_exact_docs": q_dedup_exact_docs,
-        "dedup_keep_docs": q_dedup_keep_docs,
+        "dedup_paragraph_docs": q_dedup_paragraph_docs,
         "hll_union_en_de": q_hll_union_en_de,
         "bpe_token_stats_per_lang": q_bpe_token_stats_per_lang,
         "dedup_minhash_docs": q_dedup_minhash_docs,
@@ -1513,12 +1538,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
         """,
-        "dedup_keep_docs": f"""
-            SELECT doc_id, lang, source FROM (
-              SELECT doc_id, lang, source,
-                     ROW_NUMBER() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
-              FROM documents
-            ) WHERE rn = 1
+        # same 8-word chunking as the Spark side, built independently:
+        # tokens -> generate_subscripts -> (wi-1)//8 groups -> string_agg;
+        # winner = first (doc_id, pos) per md5(paragraph), docs rebuilt by
+        # ordered string_agg of the survivors (empty doc -> md5(''))
+        "dedup_paragraph_docs": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wi
+              FROM (SELECT doc_id, {tokens} AS ws FROM documents)
+            ), paras AS (
+              SELECT doc_id, CAST((wi - 1) // 8 AS INT) AS pos,
+                     string_agg(word, ' ' ORDER BY wi) AS para
+              FROM w GROUP BY doc_id, (wi - 1) // 8
+            ), win AS (
+              SELECT doc_id, pos, para,
+                     ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+              FROM paras
+            )
+            SELECT doc_id, COUNT(*) AS n_paras,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '')) AS dedup_text_md5
+            FROM win GROUP BY doc_id
         """,
         "hll_union_en_de": """
             SELECT COUNT(DISTINCT text) AS exact_union, TRUE AS within_bound

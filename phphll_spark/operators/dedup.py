@@ -56,6 +56,49 @@ def dedup_exact_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, *, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide paragraph/line-level exact dedup — the CCNet/RefinedWeb
+    line-dedup stage: every distinct paragraph keeps only its FIRST
+    occurrence (min ``(id, pos)`` across the whole corpus), and documents
+    are reassembled from their surviving paragraphs in original order.
+
+    Returns ``(id, n_paras, n_kept, dedup_text)`` — one row per input
+    document, ``dedup_text`` empty when every paragraph was seen earlier.
+
+    Scale shape (100 TB-safe): paragraphs are exploded narrow, the winner
+    per fingerprint is a plain partial-aggregated ``min(struct(id, pos))``
+    (no window over a possibly-huge fingerprint group), and the kept flag
+    comes from the co-partitioned fingerprint join — two shuffles total
+    (fingerprint, then id for reassembly), each on a uniform md5 key.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("_fp", F.md5("para"))
+    winners = paras.groupBy("_fp").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w")
+    )
+    kept = paras.join(winners, "_fp").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col(f"_w.{id_col}")) & (F.col("pos") == F.col("_w.pos")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("pos", "para")))
+                ),
+                lambda x: x["para"],
+            ),
+        ).alias("dedup_text"),
+    )
+
+
 def _pairs_within_group(ids: F.Column) -> F.Column:
     """All (id_a < id_b) pairs of a SORTED id array, as an array of structs
     — JVM-native nested transform, no UDF, no self-join."""

@@ -1181,3 +1181,25 @@ def test_connected_components_huge_labels(spark):
         expect[base + i + 1] = base + i
     assert got == expect
     release_cached(spark)
+
+
+def test_dedup_paragraphs(spark):
+    """Line-level dedup: first (id, pos) occurrence wins corpus-wide,
+    docs reassemble in order, fully-duplicated docs come back empty."""
+    from phphll_spark.operators import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta\nbeta"),   # beta dup of doc1; second beta in-doc dup
+            (3, "alpha\nbeta"),          # nothing survives
+            (4, "delta\nepsilon"),       # delta lost to doc2, epsilon kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert got[1]["dedup_text"] == "alpha\nbeta\ngamma" and got[1]["n_kept"] == 3
+    assert got[2]["dedup_text"] == "delta" and got[2]["n_kept"] == 1
+    assert got[2]["n_paras"] == 3
+    assert got[3]["dedup_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["dedup_text"] == "epsilon" and got[4]["n_kept"] == 1
