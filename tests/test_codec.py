@@ -303,3 +303,29 @@ int main(void) {
                 promoted_at = i
         # the stream must actually have exercised the promotion boundary
         assert promoted_at is not None and promoted_at > 100
+
+
+def test_sparse_set_property_random_all_p():
+    """Model-based check at precisions the compiled reference (fixed p=14)
+    cannot exercise: any sequence of in-range (idx, rho<=32) updates must
+    leave the blob decoding to the element-wise max of the updates, with
+    the payload a well-formed minimal-state RLE (total run == 2^p)."""
+    rng = np.random.default_rng(1234)
+    for p in (6, 10, 14, 16):
+        m = kernel.m_for_p(p)
+        blob = bytearray(
+            codec.MAGIC + bytes([codec.ENC_SPARSE, 0, 0, 0]) + (0).to_bytes(8, "little")
+            + codec.empty_sparse_payload(p)
+        )
+        model = np.zeros(m, dtype=np.uint8)
+        n_upd = 300
+        idxs = rng.integers(0, m, size=n_upd)
+        rhos = rng.integers(1, 33, size=n_upd)
+        for i, r in zip(idxs.tolist(), rhos.tolist()):
+            ret = codec.sparse_set(blob, i, r)
+            if ret == -1:  # would exceed 3000 B (plausible at p=16): stop
+                break
+            assert ret == (1 if r > model[i] else 0), (p, i, r, model[i])
+            model[i] = max(model[i], r)
+            got = codec.decode_sparse(bytes(blob[codec.HDR_SIZE:]), p)
+            assert (got == model).all(), (p, i, r)
