@@ -33,6 +33,7 @@ HEADLINE = [
     "hll_merge_assoc_per_lang",
     "hll_rollup_lang_source_bound",
     "dedup_exact_docs",
+    "dedup_paragraph_docs",
     "dedup_minhash_docs",
     "corpus_clean_stats",
     "decontaminate_docs",
