@@ -341,23 +341,31 @@ def q_hll_union_en_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style pre-tokenizer unit counts (words / digits / punctuation
-    runs) per lang — the token-budget estimator."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
-    )
-
-
 def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token, char AND GPT-style pre-tokenizer unit counts per
+    lang in one scan (the bpe-ish counts were a separate query through r3;
+    merged to free a driver slot — same grain, same table)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.token_count("text")).alias("total_tokens"),
         F.sum(T.char_count("text")).alias("total_chars"),
+        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
     )
+
+
+def q_dedup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (`duplicated_ngram_spans`,
+    operators/dedup.py — the Lee et al. 2022 repeated-substring stage,
+    hashed-window approximation). Run at n=20 tokens rather than the
+    paper's 50 because the synthetic docs average ~50 words: n=20 yields
+    1.5k duplicate windows across ~45 docs at sf0.01, a real span-merge
+    workload. The oracle rebuilds the windows, the corpus-wide count, and
+    the gaps-and-islands span merge independently in SQL."""
+    from phphll_spark.operators import duplicated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_ngram_spans(docs, "doc_id", "text", n=20)
 
 
 def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_paragraph_docs": q_dedup_paragraph_docs,
         "hll_union_en_de": q_hll_union_en_de,
-        "bpe_token_stats_per_lang": q_bpe_token_stats_per_lang,
+        "dedup_span_docs": q_dedup_span_docs,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_minhash_keep_docs": q_dedup_minhash_keep_docs,
         "corpus_clean_stats": q_corpus_clean_stats,
@@ -1568,18 +1576,40 @@ def oracle_sql() -> dict[str, str]:
         # SUM(BIGINT) yields HUGEINT, which pandas renders as float64 and
         # the driver's dtype-sensitive value hash then mismatches Spark's
         # int64 (VERDICT r01 root cause #1).
-        "bpe_token_stats_per_lang": """
-            SELECT lang, COUNT(*) AS n_docs,
-                   CAST(SUM(len(list_filter(
-                       regexp_extract_all(coalesce(text,''),
-                           '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+)', 1),
-                       t -> trim(t) <> ''))) AS BIGINT) AS total_bpe_tokens
-            FROM documents GROUP BY lang
+        # windows rebuilt independently: tokens -> md5 of each 20-token
+        # slice -> corpus-wide count >= 2 -> per-doc gaps-and-islands merge
+        # (break when start gaps exceed n; LAG-null first row = no break on
+        # both sides)
+        "dedup_span_docs": f"""
+            WITH d AS (SELECT doc_id, {tokens} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+              FROM (SELECT doc_id, list_transform(range(0, greatest(len(ws) - 19, 0)),
+                             i -> md5(array_to_string(ws[i+1:i+20], ' '))) AS hs FROM d)
+            ),
+            dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+            p AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+            b AS (SELECT doc_id, pos,
+                    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                         THEN 1 ELSE 0 END AS brk
+                  FROM p),
+            i AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                  FROM b)
+            SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 19 AS INT) AS span_end,
+                   CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS span_tokens
+            FROM i GROUP BY doc_id, isl
         """,
         "token_stats_per_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len({tokens})) AS BIGINT) AS total_tokens,
-                   CAST(SUM(length(coalesce(text,''))) AS BIGINT) AS total_chars
+                   CAST(SUM(length(coalesce(text,''))) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(list_filter(
+                       regexp_extract_all(coalesce(text,''),
+                           '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+)', 1),
+                       t -> trim(t) <> ''))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "lang_marker_hits": f"""

@@ -43,7 +43,7 @@ HEADLINE = [
     "dedup_url_docs",
     "token_stats_per_lang",
     "quality_score_docs",
-    "bpe_token_stats_per_lang",
+    "dedup_span_docs",
     "session_stats_users",
     "topk_cosine_neighbors",
     "ann_ivf_recall",

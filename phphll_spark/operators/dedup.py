@@ -99,6 +99,55 @@ def dedup_paragraphs(
     )
 
 
+def duplicated_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 50, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring duplicate spans — the 'dedup by repeated 50-token
+    substring' stage of Lee et al. 2022 (Deduplicating Training Data Makes
+    Language Models Better), in its standard distributed approximation:
+    hashed n-token windows replace the suffix array. Every window whose
+    exact text occurs >= ``min_count`` times corpus-wide is a duplicate
+    window; per document, duplicate windows whose starts are within ``n``
+    tokens merge into maximal spans (covers overlapping AND back-to-back
+    repeats). Returns one row per span: (id, span_start, span_end,
+    span_tokens), token offsets, span_end inclusive.
+
+    Scale shape: windows hash JVM-side (md5 of the joined window text —
+    chosen for oracle parity; the murmur-over-Arrow-buffers shingle path
+    in functions/similarity.py is the drop-in for throughput); the window
+    count is ONE uniform hash-shuffle with map-side combine; the dup-hash
+    join is co-partitioned on the same key; span merging is a per-document
+    window bounded by document length, never by corpus size.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    idxs = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
+        ).alias("pos", "_h"),
+    )
+    dup_h = (
+        grams.groupBy("_h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= min_count)
+    )
+    dup = grams.join(dup_h.select("_h"), "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn(
+        "_brk", F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .drop("_isl")
+    )
+
+
 def _pairs_within_group(ids: F.Column) -> F.Column:
     """All (id_a < id_b) pairs of a SORTED id array, as an array of structs
     — JVM-native nested transform, no UDF, no self-join."""

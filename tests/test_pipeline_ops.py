@@ -1203,3 +1203,26 @@ def test_dedup_paragraphs(spark):
     assert got[2]["n_paras"] == 3
     assert got[3]["dedup_text"] == "" and got[3]["n_kept"] == 0
     assert got[4]["dedup_text"] == "epsilon" and got[4]["n_kept"] == 1
+
+
+def test_duplicated_ngram_spans(spark):
+    """Repeated n-token substrings merge into maximal per-doc spans; docs
+    shorter than n produce no windows; unique text produces no spans."""
+    from phphll_spark.operators import duplicated_ngram_spans
+
+    shared = " ".join(f"w{i}" for i in range(8))          # 8 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),                  # span at pos 2
+            (2, f"b1 {shared} b2 b3 b4 {shared}"),         # two spans, far apart
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"), # unique: no spans
+            (4, "short doc"),                              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_ngram_spans(df, "doc_id", "text", n=8, min_count=2).collect()
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out)
+    # doc1: the 8 shared tokens start at pos 2 -> span [2, 9]
+    # doc2: the run occurs at pos 1 and pos 12; gap 11 > n=8 -> two
+    #       separate spans [1, 8] and [12, 19]
+    assert spans == [(1, 2, 9), (2, 1, 8), (2, 12, 19)]
