@@ -305,7 +305,13 @@ def q_dedup_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from phphll_spark.operators import dedup_paragraphs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    # project the token array once — inlining the split into the per-chunk
+    # lambda would re-split the text per chunk (see duplicated_ngram_spans)
+    pre = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias("_ws"),
+    )
+    words = F.col("_ws")
     n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(8)).cast("int"), F.lit(1))
     para_text = F.concat_ws(
         "\n",
@@ -314,7 +320,7 @@ def q_dedup_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
         ),
     )
-    out = dedup_paragraphs(docs.select("doc_id", para_text.alias("text")), "doc_id", "text")
+    out = dedup_paragraphs(pre.select("doc_id", para_text.alias("text")), "doc_id", "text")
     return out.select(
         "doc_id", "n_paras", "n_kept", F.md5("dedup_text").alias("dedup_text_md5")
     )

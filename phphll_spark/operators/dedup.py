@@ -119,11 +119,18 @@ def duplicated_ngram_spans(
     join is co-partitioned on the same key; span merging is a per-document
     window bounded by document length, never by corpus size.
     """
-    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # project the token array ONCE: inlining the split into the per-window
+    # lambda makes Catalyst re-split the text for every window (measured
+    # 3.3x slower at sf0.1)
+    pre = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "").alias("_ws"),
+    )
+    words = F.col("_ws")
     idxs = F.when(
         F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
     ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
+    grams = pre.select(
         F.col(id_col),
         F.posexplode(
             F.transform(idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
