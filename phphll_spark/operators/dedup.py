@@ -155,6 +155,51 @@ def duplicated_ngram_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 50, min_count: int = 2
+) -> DataFrame:
+    """The removal half of the Lee et al. exact-substring stage: cut every
+    duplicated span found by ``duplicated_ngram_spans`` out of the text
+    (ALL occurrences are removed, matching the paper's default of dropping
+    repeated substrings wherever they appear) and rebuild the document
+    from the surviving tokens.
+
+    Returns ``(id, clean_text, n_tokens, n_removed_tokens)`` — one row per
+    input document, including documents with nothing to remove.
+
+    Scale shape: the span frame is tiny relative to the corpus (only
+    duplicated regions); it aggregates to one bounded array per affected
+    doc and joins back on the id key; the token filter is a JVM-native
+    exists() per token over that bounded span array — no extra shuffle
+    beyond the span computation plus the one id-keyed join.
+    """
+    spans = (
+        duplicated_ngram_spans(df, id_col, text_col, n=n, min_count=min_count)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    )
+    pre = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "").alias("_ws"),
+    )
+    joined = pre.join(spans, id_col, "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    kept = F.filter(
+        F.transform(F.col("_ws"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda t: ~F.exists(
+            F.col("_spans"),
+            lambda s: (t["i"] >= s["span_start"]) & (t["i"] <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda t: t["w"])).alias("clean_text"),
+        F.size("_ws").alias("n_tokens"),
+        (F.size("_ws") - F.size(kept)).alias("n_removed_tokens"),
+    )
+
+
 def _pairs_within_group(ids: F.Column) -> F.Column:
     """All (id_a < id_b) pairs of a SORTED id array, as an array of structs
     — JVM-native nested transform, no UDF, no self-join."""

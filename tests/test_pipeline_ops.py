@@ -1226,3 +1226,24 @@ def test_duplicated_ngram_spans(spark):
     # doc2: the run occurs at pos 1 and pos 12; gap 11 > n=8 -> two
     #       separate spans [1, 8] and [12, 19]
     assert spans == [(1, 2, 9), (2, 1, 8), (2, 12, 19)]
+
+
+def test_remove_duplicated_spans(spark):
+    """Span removal cuts every occurrence of a duplicated substring and
+    rebuilds the text; untouched docs pass through intact."""
+    from phphll_spark.operators import remove_duplicated_spans
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),
+            (2, f"b1 {shared} b2 b3 b4 {shared}"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, "doc_id", "text", n=8).collect()}
+    assert got[1]["clean_text"] == "a1 a2 a3 a4" and got[1]["n_removed_tokens"] == 8
+    assert got[2]["clean_text"] == "b1 b2 b3 b4" and got[2]["n_removed_tokens"] == 16
+    assert got[3]["clean_text"] == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    assert got[3]["n_removed_tokens"] == 0 and got[3]["n_tokens"] == 10
