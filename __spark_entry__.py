@@ -361,17 +361,46 @@ def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplicate spans (`duplicated_ngram_spans`,
+    """Exact-substring duplicate spans AND their removal
+    (`duplicated_ngram_spans` + `remove_duplicated_spans`,
     operators/dedup.py — the Lee et al. 2022 repeated-substring stage,
     hashed-window approximation). Run at n=20 tokens rather than the
     paper's 50 because the synthetic docs average ~50 words: n=20 yields
     1.5k duplicate windows across ~45 docs at sf0.01, a real span-merge
     workload. The oracle rebuilds the windows, the corpus-wide count, and
-    the gaps-and-islands span merge independently in SQL."""
-    from phphll_spark.operators import duplicated_ngram_spans
+    the gaps-and-islands span merge independently in SQL.
+
+    R5 (VERDICT r04 #2): the REMOVAL composition — the text rewrite a
+    pipeline actually ships — now rides the same record: each span row
+    carries its doc's total removed-token count and the md5 of the
+    rewritten document, which the oracle recomputes by filtering
+    span-covered tokens in SQL. Same grain (one row per span), no extra
+    driver slot. hasher='md5' pins Spark and DuckDB to identical window
+    hashes; the operator's default ('murmur', zero-copy Arrow windows) is
+    the scale path, pinned span-equivalent in tests/test_pipeline_ops.py.
+    """
+    from phphll_spark.operators import duplicated_ngram_spans, remove_duplicated_spans
+    from phphll_spark.operators._cache import register as _reg, release_cached
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return duplicated_ngram_spans(docs, "doc_id", "text", n=20)
+    release_cached(spark)
+    # spans feed BOTH the export and the removal join — persist so the
+    # window-hash count pass runs once (released by the next operator)
+    spans = _reg(
+        duplicated_ngram_spans(docs, "doc_id", "text", n=20, hasher="md5").persist()
+    )
+    removal = remove_duplicated_spans(docs, "doc_id", "text", n=20, spans=spans)
+    return spans.join(
+        removal.select(
+            "doc_id",
+            F.col("n_removed_tokens").alias("doc_removed_tokens"),
+            F.md5("clean_text").alias("doc_clean_md5"),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "span_start", "span_end", "span_tokens",
+        "doc_removed_tokens", "doc_clean_md5",
+    )
 
 
 def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,7 +993,9 @@ def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # a hung stream must fail loudly, not proceed with a partial
+        # snapshot into a confusing stream_eq_batch=false (ADVICE r04)
+        assert q.awaitTermination(300), "streaming snapshot did not complete within 300s"
         snap_rows = (
             read_sketch_table(spark, table)
             .select("day", hll_count_sketch(F.col("sketch")).alias("stream_est"))
@@ -1564,6 +1595,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST((wi - 1) // 8 AS INT) AS pos,
                      string_agg(word, ' ' ORDER BY wi) AS para
               FROM w GROUP BY doc_id, (wi - 1) // 8
+              -- a token-less doc (empty/whitespace-only text) still chunks
+              -- to ONE empty paragraph on the Spark side (n_chunks >= 1);
+              -- unnest of its empty token list would drop it here, so
+              -- synthesize the '' paragraph symmetrically (ADVICE r04)
+              UNION ALL
+              SELECT doc_id, 0 AS pos, '' AS para
+              FROM (SELECT doc_id, {tokens} AS ws FROM documents) WHERE len(ws) = 0
             ), win AS (
               SELECT doc_id, pos, para,
                      ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
@@ -1585,7 +1623,11 @@ def oracle_sql() -> dict[str, str]:
         # windows rebuilt independently: tokens -> md5 of each 20-token
         # slice -> corpus-wide count >= 2 -> per-doc gaps-and-islands merge
         # (break when start gaps exceed n; LAG-null first row = no break on
-        # both sides)
+        # both sides). The removal half (r5): every span-covered token is
+        # filtered out, the survivors re-join with single spaces, and the
+        # md5 of the rewrite plus the removed-token count land on each of
+        # the doc's span rows — recomputing remove_duplicated_spans'
+        # exists()-filter composition from first principles.
         "dedup_span_docs": f"""
             WITH d AS (SELECT doc_id, {tokens} AS ws FROM documents),
             g AS (
@@ -1602,11 +1644,33 @@ def oracle_sql() -> dict[str, str]:
             i AS (SELECT doc_id, pos,
                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-                  FROM b)
-            SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
-                   CAST(MAX(pos) + 19 AS INT) AS span_end,
-                   CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS span_tokens
-            FROM i GROUP BY doc_id, isl
+                  FROM b),
+            spans AS (
+              SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+                     CAST(MAX(pos) + 19 AS INT) AS span_end,
+                     CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS span_tokens
+              FROM i GROUP BY doc_id, isl
+            ),
+            tok AS (
+              SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS ti
+              FROM d WHERE doc_id IN (SELECT doc_id FROM spans)
+            ),
+            cov AS (
+              SELECT t.doc_id, t.ti, t.word,
+                     EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+                             AND t.ti BETWEEN s.span_start AND s.span_end) AS covered
+              FROM tok t
+            ),
+            clean AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS INT) AS doc_removed_tokens,
+                     md5(COALESCE(string_agg(CASE WHEN NOT covered THEN word END,
+                                             ' ' ORDER BY ti), '')) AS doc_clean_md5
+              FROM cov GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.span_start, s.span_end, s.span_tokens,
+                   c.doc_removed_tokens, c.doc_clean_md5
+            FROM spans s JOIN clean c USING (doc_id)
         """,
         "token_stats_per_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,

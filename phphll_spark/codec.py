@@ -355,6 +355,21 @@ def pfadd_blob(blob: bytes, elements, p: int | None = None) -> tuple[bytes, bool
             p = int(len(blob[HDR_SIZE:]) * 8 // 6).bit_length() - 1
         else:
             p = int(decode_sparse(blob[HDR_SIZE:], None).size).bit_length() - 1
+    elif encoding == ENC_DENSE and len(blob) - HDR_SIZE != dense_size(p):
+        # a wrong caller-supplied p would silently write registers at wrong
+        # bit offsets (ADVICE r04) — validate against the payload length
+        raise InvalidSketchError(
+            f"dense payload is {len(blob) - HDR_SIZE} bytes, expected "
+            f"{dense_size(p)} for p={p}"
+        )
+    elif encoding == ENC_SPARSE and decode_sparse(blob[HDR_SIZE:], None).size != 1 << p:
+        # sparse payloads self-describe m via total run length (≤3000 B, so
+        # the verification decode is cheap) — a mismatched p would splice
+        # RLE runs against the wrong register space
+        raise InvalidSketchError(
+            f"sparse payload describes m={decode_sparse(blob[HDR_SIZE:], None).size}, "
+            f"expected {1 << p} for p={p}"
+        )
     items = [e.encode("utf-8") if isinstance(e, str) else bytes(e) for e in elements]
     if not items:
         return blob, False

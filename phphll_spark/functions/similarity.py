@@ -99,7 +99,7 @@ def _char_shingle_windows_from_buffers(
 
 
 def _word_shingle_windows_from_buffers(
-    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, n: int
+    buf: np.ndarray, doc_off: np.ndarray, doc_lens: np.ndarray, n: int, *, sub_n: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Word n-gram windows over a buffer of NORMALIZED text (single-space
     separated, trimmed — normalized_text's output): each window spans n
@@ -111,7 +111,9 @@ def _word_shingle_windows_from_buffers(
     doc boundary (0x20 never occurs inside a UTF-8 multi-byte sequence,
     so the byte test is char-correct); per-doc word counts come from two
     searchsorted calls. Sub-n rule mirrors the char path: a nonempty doc
-    with fewer than n words is its own single shingle. Returns
+    with fewer than n words is its own single shingle — unless
+    ``sub_n=False`` (positional window mode, duplicated_ngram_spans'
+    semantics: a doc shorter than n words has NO windows). Returns
     (window_starts, window_lens, windows_per_doc)."""
     if len(doc_off) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(0, np.int64)
@@ -132,7 +134,8 @@ def _word_shingle_windows_from_buffers(
     g0 = np.searchsorted(wstart, doc_off)
     gend = np.searchsorted(wstart, doc_off + doc_lens)
     wc = gend - g0
-    counts = np.where(wc >= n, wc - n + 1, (wc > 0).astype(np.int64))
+    short = (wc > 0).astype(np.int64) if sub_n else np.zeros(len(wc), dtype=np.int64)
+    counts = np.where(wc >= n, wc - n + 1, short)
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), counts
@@ -347,6 +350,56 @@ def with_hashed_shingles(
                 new_counts = np.bincount(sd, minlength=n).astype(np.int64)
             offsets = np.concatenate(([0], np.cumsum(new_counts))).astype(np.int32)
             col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(uniq))
+            out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
+            yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
+
+    return df.mapInArrow(gen, schema=schema)
+
+
+def with_word_window_hashes(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int,
+    out_col: str = "window_hashes",
+) -> DataFrame:
+    """Append an ``array<long>`` of POSITIONAL murmur64 hashes of every
+    n-word window of the doc — element ``i`` is the hash of words
+    ``[i, i+n)`` — via mapInArrow (narrow, zero-copy windows over the
+    Arrow buffer; no dedup, no sub-n shingle: a doc with fewer than n
+    words gets an empty array).
+
+    This is the throughput path for ``duplicated_ngram_spans``
+    (operators/dedup.py): the JVM ``md5(concat_ws(...))`` per window
+    re-materializes ~n× the corpus text bytes and allocates a string per
+    window, while these windows hash straight out of the shared buffer
+    (same kernel as with_hashed_shingles). Hash equality ⇔ window text
+    equality up to 64-bit murmur collisions (~n²/2⁶⁵ — the LSH stage
+    already rides the same hashes).
+
+    ``text_col`` must be single-space normalized (e.g.
+    ``F.concat_ws(" ", tokens)`` of the whitespace-split token array) so
+    word index == token index and window bytes == the space-joined token
+    tuple."""
+    import pyarrow as pa
+
+    fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
+            starts, wlens, counts = _word_shingle_windows_from_buffers(
+                buf, off, lens, n, sub_n=False
+            )
+            if counts.sum() == 0:
+                hashes = np.empty(0, dtype=np.int64)
+            else:
+                hashes = kernel.murmur64a_windows(buf, starts, wlens).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(hashes))
             out_schema = rb.schema.append(pa.field(out_col, col.type, nullable=False))
             yield pa.RecordBatch.from_arrays(list(rb.columns) + [col], schema=out_schema)
 

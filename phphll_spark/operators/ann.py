@@ -444,23 +444,32 @@ def ivf_ensure_index(
     if not files:
         # non-file-backed corpus (in-memory frame, view): the metadata
         # fingerprint would be DATA-INDEPENDENT, so two different corpora
-        # with the same quantizer would silently share an index. Build at
-        # a per-call unique path instead — correctness over caching.
-        os.makedirs(cache_root, exist_ok=True)
-        adhoc = os.path.join(cache_root, f"ivf-adhoc-{uuid.uuid4().hex[:16]}")
-        ivf_build_index(corpus, id_col, vec_col, centroids=centroids, path=adhoc)
-        return adhoc
-    meta = []
-    for f in files:
-        local = f[len("file:"):].lstrip("/") if f.startswith("file:") else f
-        local = "/" + local if not local.startswith("/") else local
-        try:
-            st = os.stat(local)
-            meta.append((f, st.st_size, st.st_mtime_ns))
-        except OSError:
-            meta.append((f, -1, -1))
+        # with the same quantizer would silently share an index.
+        # Fingerprint the DATA instead: an order-independent digest (sum
+        # of per-row xxhash64 over id+vec, in decimal so it can't
+        # overflow, plus the row count) — one extra agg over the
+        # in-memory frame, trivial next to the index build itself, and
+        # repeated calls on the same corpus now REUSE the index instead
+        # of leaking a fresh ivf-adhoc-<uuid> dir per call (ADVICE r04).
+        from pyspark.sql import functions as F
+
+        dig = corpus.agg(
+            F.sum(F.xxhash64(id_col, vec_col).cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        h = hashlib.sha1(f"adhoc|{dig['s']}|{dig['n']}".encode())
+    else:
+        meta = []
+        for f in files:
+            local = f[len("file:"):].lstrip("/") if f.startswith("file:") else f
+            local = "/" + local if not local.startswith("/") else local
+            try:
+                st = os.stat(local)
+                meta.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                meta.append((f, -1, -1))
+        h = hashlib.sha1(repr(meta).encode())
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    h = hashlib.sha1(repr(meta).encode())
     h.update(C.tobytes())
     h.update(f"{id_col}|{vec_col}".encode())
     final = os.path.join(cache_root, f"ivf-{h.hexdigest()[:16]}")

@@ -329,3 +329,24 @@ def test_sparse_set_property_random_all_p():
             model[i] = max(model[i], r)
             got = codec.decode_sparse(bytes(blob[codec.HDR_SIZE:]), p)
             assert (got == model).all(), (p, i, r)
+
+
+def test_pfadd_blob_validates_explicit_p():
+    """ADVICE r04: a caller-supplied p that disagrees with the blob must
+    raise InvalidSketchError, not silently write registers at wrong bit
+    offsets (dense) or splice runs against the wrong register space
+    (sparse). The BLOB-CORRECT p still works on both encodings."""
+    dense = codec.serialize(_sketch_with(500), force_dense=True)
+    for bad_p in (10, 12, 16):
+        with pytest.raises(codec.InvalidSketchError, match="dense payload"):
+            codec.pfadd_blob(dense, [b"x"], p=bad_p)
+    ok, _ = codec.pfadd_blob(dense, [b"x"], p=14)
+    assert ok[:4] == b"HYLL"
+
+    sparse, _ = codec.pfadd_blob(_empty_sparse_blob(), [b"a", b"b"])
+    assert sparse[4] == codec.ENC_SPARSE
+    for bad_p in (10, 12, 16):
+        with pytest.raises(codec.InvalidSketchError, match="sparse payload"):
+            codec.pfadd_blob(sparse, [b"x"], p=bad_p)
+    ok2, _ = codec.pfadd_blob(sparse, [b"x"], p=14)
+    assert ok2[:4] == b"HYLL"

@@ -10,6 +10,7 @@ at 100 TB must be visible in the plan, not assumed.
 
 import contextlib
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -262,7 +263,10 @@ def test_simhash_pairs_no_self_join_guarded_shape(spark):
 def test_ivf_ensure_index_adhoc_for_memory_corpus(spark, tmp_path_factory):
     """ADVICE r03: a non-file-backed corpus has no input-file metadata to
     fingerprint — two different in-memory corpora with the same quantizer
-    must NOT share an index (per-call unique path fallback)."""
+    must NOT share an index. ADVICE r04 upgrade: the fallback fingerprints
+    the DATA (order-independent row digest), so a REPEATED call on the
+    same in-memory corpus reuses its index instead of leaking a fresh
+    adhoc dir per call."""
     import numpy as np
 
     from phphll_spark.operators import ivf_ensure_index, kmeans_centroids
@@ -281,6 +285,12 @@ def test_ivf_ensure_index_adhoc_for_memory_corpus(spark, tmp_path_factory):
     p1 = ivf_ensure_index(c1, "vec_id", "embedding", centroids=cents, cache_root=root)
     p2 = ivf_ensure_index(c2, "vec_id", "embedding", centroids=cents, cache_root=root)
     assert p1 != p2
+    # same corpus again (even reordered): the content digest reuses p1
+    p1b = ivf_ensure_index(
+        c1.orderBy(F.desc("vec_id")), "vec_id", "embedding", centroids=cents, cache_root=root
+    )
+    assert p1b == p1
+    assert len([d for d in os.listdir(root) if not d.endswith("_ckpt")]) == 2
     # the materialized index schema is (centroid, id, vec)
     ids1 = {r["id"] for r in spark.read.parquet(p1).collect()}
     ids2 = {r["id"] for r in spark.read.parquet(p2).collect()}
