@@ -650,8 +650,7 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from phphll_spark.sketches import (
         make_theta_merge_agg,
-        theta_estimate,
-        theta_intersect,
+        theta_intersection_report,
     )
 
     partials = hll_partial_sketches_multi(
@@ -665,7 +664,8 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
         # distinct uids per side stay below k (theta is exact below k):
         # k=65536 covers ~40x the sf1 uid population (sf0.1 has ~1.5k
         # distinct per side, scaling linearly → ceiling ≈ sf40); past
-        # that, switch this export to a bound flag like the HLL columns.
+        # that, theta_exact_regime flips and the export degrades to the
+        # 6/√(k−1) bound flag (theta_intersection_report below).
         # Cost: partial blobs are ≤512 KB instead of 32 KB — trivial
         # against the events shuffle they ride on.
         theta_cols=("uid_a", "uid_b"),
@@ -693,16 +693,24 @@ def q_hll_intersection_event_types(spark: SparkSession, sf_dir: str) -> DataFram
         hll_count_sketch(F.col("sa")).alias("ea"),
         hll_count_sketch(F.col("sb")).alias("eb"),
         hll_count_sketch(F.col("su")).alias("eu"),
-        theta_estimate(theta_intersect(F.col("ta"), F.col("tb"))).cast("long").alias(
-            "theta_intersection"
-        ),
+        "ta",
+        "tb",
         "exact_intersection",
     )
     return est.select(
         "exact_intersection",
-        # theta set algebra is EXACT below k distinct per side — the
-        # oracle pins it to the true intersection, not just a bound
-        "theta_intersection",
+        # regime-aware theta export (VERDICT r04 #3): below k distinct per
+        # side the set algebra is EXACT and the oracle pins
+        # theta_intersection to the true count; past the ceiling
+        # (≈ sf40 for k=65536 on these uids) theta_exact_regime flips,
+        # the value column becomes −1 on BOTH sides, and the estimate is
+        # checked against the ⌈6/√(k−1)·union⌉ bound instead — same
+        # pattern as the HLL exact+flag columns. The estimation-regime
+        # path is pinned at a >k synthetic cardinality in
+        # tests/test_sketches.py.
+        *theta_intersection_report(
+            F.col("ta"), F.col("tb"), F.col("exact_intersection"), F.col("eu"), k=65536
+        ),
         (
             F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_intersection"))
             <= F.ceil(F.lit(_SIX_SIGMA) * (F.col("ea") + F.col("eb") + F.col("eu")))
@@ -953,6 +961,105 @@ def q_session_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, "user_id", "ts", gap_seconds=1800)
 
 
+def _stateful_sessions_eq_batch(spark: SparkSession, sf_dir: str) -> bool:
+    """Replay the user_id<20 events as file-source micro-batches through
+    ``stateful_sessions`` (applyInPandasWithState, event-time timeout —
+    streaming/stream.py:149) and compare the emitted closed sessions with
+    batch sessionization (operators/sessions.py) tuple-for-tuple.
+
+    Replay mechanics: batches must arrive in EVENT-TIME order for the
+    equality to be exact — the operator emits a session the moment an
+    in-batch gap closes it (its documented watermark-ordered-arrival
+    contract), so a randomly-split replay could deliver an interleaved
+    run AFTER its session was already emitted. The events are therefore
+    split into four CONTIGUOUS time-range files written in ascending
+    order (file-source batches order by mtime): every interior gap's
+    merge window then lies wholly inside its own file, and only the open
+    trailing session ever crosses a batch boundary — exactly the
+    streaming contract. A sentinel far-future single-row file is written
+    last so the final watermark passes every real session's end + gap and
+    flushes all trailing state. Both sides truncate timestamps to epoch
+    seconds and split on the same gap rule, so the flag is deterministic,
+    not statistical."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from phphll_spark.operators import sessionize
+    from phphll_spark.streaming import stateful_sessions
+
+    gap_seconds = 1800
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20).select(
+        "ts", F.col("user_id").cast("string").alias("uid")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    if lo is None:
+        return True
+    sentinel_uid = "__wm_flush__"
+    work = tempfile.mkdtemp(prefix="phphll_sessions_eq_")
+    name = f"sessions_eq_{_uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(work, "src")
+        # quartile cut points on TRUNCATED epoch seconds (relativeError=0
+        # → exact): equal-second events always land in the same file, so
+        # the range files are contiguous and non-overlapping in seconds
+        epoch = ev.select(F.unix_timestamp("ts").cast("double").alias("e"))
+        cuts = [int(c) for c in epoch.stat.approxQuantile("e", [0.25, 0.5, 0.75], 0.0)]
+        bounds = [None, *cuts, None]
+        for i in range(4):
+            part = ev
+            if bounds[i] is not None:
+                part = part.filter(F.unix_timestamp("ts") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.unix_timestamp("ts") <= bounds[i + 1])
+            part.coalesce(1).write.mode("append").parquet(src)
+        # sentinel AFTER the real files: final watermark = sentinel ts
+        # (delay 0) > every session end + gap → full state flush
+        from datetime import timedelta
+
+        flush_ts = hi + timedelta(seconds=gap_seconds + 2 * 86400)
+        spark.createDataFrame([(flush_ts, sentinel_uid)], "ts timestamp, uid string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            stateful_sessions(stream, "uid", "ts", gap_seconds=gap_seconds)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stateful-sessions replay did not complete within 300s"
+        cols = ["uid", "session_start", "session_end", "n_events"]
+        streamed = spark.sql(f"SELECT * FROM {name}").filter(
+            F.col("uid") != sentinel_uid
+        ).select(*cols)
+        batch = (
+            sessionize(ev, "uid", "ts", gap_seconds=gap_seconds)
+            .groupBy("uid", "session_id")
+            .agg(
+                F.min(F.unix_timestamp("ts")).alias("session_start"),
+                F.max(F.unix_timestamp("ts")).alias("session_end"),
+                F.count("*").alias("n_events"),
+            )
+            .select(*cols)
+        )
+        n_mismatch = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        return n_mismatch == 0
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch equivalence for the HLL snapshot sink, recordable
     against a plain SQL oracle (VERDICT r03 #7): the events table is split
@@ -965,7 +1072,15 @@ def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows were split into batches, so ``stream_eq_batch`` is deterministic;
     the oracle pins it (and the 6σ bound vs exact DAU) to TRUE. The ≤31-row
     snapshot is collected so the streaming scratch dir can be removed
-    before returning."""
+    before returning.
+
+    R5 (VERDICT r04 #5): the CUSTOM STATEFUL operator now rides the same
+    record — ``sessions_eq_batch`` replays the user_id<20 events as
+    micro-batches through ``stateful_sessions`` (applyInPandasWithState +
+    event-time timeout) and pins tuple-equality of the emitted closed
+    sessions against batch sessionization (``_stateful_sessions_eq_batch``
+    above); the oracle pins TRUE. One replay query carries both streaming
+    equivalences — the 50-slot record cap makes a second slot too dear."""
     import shutil
     import tempfile
 
@@ -973,6 +1088,8 @@ def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_sketch_sink,
         read_sketch_table,
     )
+
+    sessions_eq = _stateful_sessions_eq_batch(spark, sf_dir)
 
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
@@ -1014,6 +1131,7 @@ def q_streaming_daily_users_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "exact_users",
             (F.col("stream_est") == F.col("batch_est")).alias("stream_eq_batch"),
+            F.lit(bool(sessions_eq)).alias("sessions_eq_batch"),
             _bound_ok(F.col("stream_est"), F.col("exact_users")),
         )
     )
@@ -1327,14 +1445,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT text) AS exact_texts, TRUE AS within_bound
             FROM documents GROUP BY ROLLUP(lang, source)
         """,
+        # the oracle KNOWS the regime: theta stays exact (θ=1, never
+        # trimmed) iff a side's distinct count never exceeded k=65536, so
+        # it derives theta_exact_regime from the true per-side distinct
+        # counts and pins the value column exactly in-regime / -1 past it
         "hll_intersection_event_types": """
-            SELECT COUNT(*) AS exact_intersection,
-                   COUNT(*) AS theta_intersection,
-                   TRUE AS within_bound FROM (
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-              INTERSECT
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            WITH sides AS (
+              SELECT COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS da,
+                     COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS db
+              FROM events
+            ), i AS (
+              SELECT COUNT(*) AS exact_intersection FROM (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+              )
             )
+            SELECT exact_intersection,
+                   (da <= 65536 AND db <= 65536) AS theta_exact_regime,
+                   CASE WHEN da <= 65536 AND db <= 65536
+                        THEN exact_intersection ELSE -1 END AS theta_intersection,
+                   TRUE AS theta_within_bound,
+                   TRUE AS within_bound
+            FROM i, sides
         """,
         "hll_p10_segments_bound": """
             SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS exact_customers,
@@ -1825,11 +1958,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream_eq_batch is exact by merge associativity/idempotence (the
         # snapshot sink's 4-micro-batch estimate equals the one-shot batch
-        # estimate byte-for-byte), so the oracle pins it to TRUE.
+        # estimate byte-for-byte); sessions_eq_batch is exact because both
+        # sessionizers truncate to epoch seconds and split on the same gap
+        # rule — so the oracle pins both to TRUE.
         "streaming_daily_users_eq": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                    COUNT(DISTINCT user_id) AS exact_users,
-                   TRUE AS stream_eq_batch, TRUE AS within_bound
+                   TRUE AS stream_eq_batch, TRUE AS sessions_eq_batch,
+                   TRUE AS within_bound
             FROM events GROUP BY 1
         """,
         # FLOOR(x*100 + 0.5)/100 on both sides: Spark F.round (BigDecimal

@@ -34,6 +34,8 @@ from .theta import (
     theta_a_not_b,
     theta_estimate,
     theta_intersect,
+    theta_intersection_report,
+    theta_is_exact,
     theta_partial_sketches,
     theta_retained,
     theta_sketch,
@@ -111,6 +113,8 @@ __all__ = [
     "theta_a_not_b",
     "theta_estimate",
     "theta_intersect",
+    "theta_intersection_report",
+    "theta_is_exact",
     "theta_partial_sketches",
     "theta_retained",
     "theta_sketch",

@@ -35,6 +35,7 @@ framing spirit as the reference's HYLL header (hyperloglog.c:1120-1176).
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator
 
@@ -43,7 +44,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, LongType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, LongType
 
 from .. import kernel
 
@@ -240,6 +241,54 @@ def theta_retained(blobs: pd.Series) -> pd.Series:
     return pd.Series(
         [0 if b is None else theta_deserialize(bytes(b))[0].size for b in blobs], dtype="int64"
     )
+
+
+@pandas_udf(BooleanType())
+def theta_is_exact(blobs: pd.Series) -> pd.Series:
+    """TRUE while the sketch is still in its EXACT regime: θ == 1 means no
+    trim ever happened, so the retained set is the complete distinct-hash
+    set and every estimate/set-op on it is exact (up to 64-bit hash
+    collisions). θ only ever decreases (fold and merge both min/trim), so
+    a merged sketch is exact iff its whole input stream held ≤ k distinct
+    values."""
+    return pd.Series(
+        [b is not None and theta_deserialize(bytes(b))[1] == _THETA_ONE for b in blobs],
+        dtype="bool",
+    )
+
+
+def theta_intersection_report(
+    sketch_a, sketch_b, exact_col, union_est_col, *, k: int
+) -> list:
+    """Regime-aware intersection export columns (SURVEY.md §2.5 set ops —
+    the estimation-regime contract the exact-pin oracle can't cover):
+
+    - ``theta_exact_regime``: both sides still θ=1 (≤ k distinct each) —
+      the intersection below is then EXACT, not an estimate.
+    - ``theta_intersection``: the intersection estimate in the exact
+      regime (pinnable to the true count by an oracle), −1 once either
+      side estimates — an estimate must never be exported where a gate
+      would hash-compare it against an exact value.
+    - ``theta_within_bound``: exact regime ⇒ strict equality with
+      ``exact_col``; estimation regime ⇒ |est − exact| ≤
+      ⌈6/√(k−1) · union⌉. The union scaling is the conservative form of
+      the binomial-thinning variance: retained∩ ~ Binomial(I, θ) with
+      θ ≈ k/U gives std(est) ≈ √(I·U/k) ≤ U/√k, so 6/√(k−1)·U ≥ 6σ.
+
+    ``sketch_a``/``sketch_b`` are merged theta sketch columns (same k as
+    the ``k`` argument), ``exact_col`` the true intersection count,
+    ``union_est_col`` an upper-ish estimate of |A ∪ B| (an HLL union
+    estimate qualifies)."""
+    est = theta_estimate(theta_intersect(sketch_a, sketch_b)).cast("long")
+    exact_regime = theta_is_exact(sketch_a) & theta_is_exact(sketch_b)
+    bound = F.ceil(F.lit(6.0 / math.sqrt(k - 1)) * union_est_col)
+    return [
+        exact_regime.alias("theta_exact_regime"),
+        F.when(exact_regime, est).otherwise(F.lit(-1)).alias("theta_intersection"),
+        F.when(exact_regime, est == exact_col)
+        .otherwise(F.abs(est - exact_col) <= bound)
+        .alias("theta_within_bound"),
+    ]
 
 
 def _binary_op(op):

@@ -374,6 +374,50 @@ def test_theta_estimation_regime_bound_and_merge_invariance(spark):
     assert abs(est[3] - n) <= bound * n, est
 
 
+def test_theta_intersection_report_both_regimes(spark):
+    """VERDICT r04 #3: the regime-aware intersection export. Below k per
+    side: theta_exact_regime TRUE and theta_intersection pinned to the
+    true count. Above k (synthetic >k cardinality): the regime flag flips,
+    the value column degrades to -1 (never export an estimate where a
+    gate would hash-compare it), and theta_within_bound holds via the
+    6/sqrt(k-1)·union bound."""
+    from pyspark.sql import functions as F
+
+    from phphll_spark.sketches import theta_intersection_report, theta_sketch
+
+    k = 1024
+
+    def report(n_a, n_b, overlap):
+        # a = [0, n_a), b = [n_a - overlap, n_a - overlap + n_b)
+        a = spark.range(n_a).select(F.lit("a").alias("side"), F.concat(F.lit("u"), "id").alias("v"))
+        b = spark.range(n_a - overlap, n_a - overlap + n_b).select(
+            F.lit("b").alias("side"), F.concat(F.lit("u"), "id").alias("v")
+        )
+        sk = theta_sketch(a.unionAll(b).repartition(5), ["side"], "v", k=k)
+        ta = sk.filter(F.col("side") == "a").select(F.col("theta").alias("ta"))
+        tb = sk.filter(F.col("side") == "b").select(F.col("theta").alias("tb"))
+        union = n_a + n_b - overlap
+        return (
+            ta.crossJoin(tb)
+            .select(
+                *theta_intersection_report(
+                    F.col("ta"), F.col("tb"), F.lit(overlap), F.lit(union), k=k
+                )
+            )
+            .collect()[0]
+        )
+
+    exact = report(800, 700, 300)  # both sides < k
+    assert exact["theta_exact_regime"] is True
+    assert exact["theta_intersection"] == 300
+    assert exact["theta_within_bound"] is True
+
+    est = report(20_000, 15_000, 6_000)  # both sides > k: estimation regime
+    assert est["theta_exact_regime"] is False
+    assert est["theta_intersection"] == -1
+    assert est["theta_within_bound"] is True
+
+
 def test_theta_fold_merge_property():
     """Kernel-level property: folding a stream in arbitrary chunkings and
     merge orders yields the identical (entries, theta) state."""
