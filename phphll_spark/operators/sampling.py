@@ -205,23 +205,65 @@ def cap_tokens_per_stratum(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2 (one boundary minimum)")
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.groupBy(strata_col).agg(
+    # materialize the tiny bounds frame ONCE (O(n_strata × n_buckets) —
+    # the op already assumes broadcast-sized strata): the final plan has
+    # several branches over the bounds join, and an unmaterialized
+    # percentile_approx subtree is re-aggregated and re-broadcast in
+    # every one (measured: the whole-frame percentile pass is ~3.5 s per
+    # branch at 32 M rows, VERDICT r04 #6)
+    bounds_lazy = df.groupBy(strata_col).agg(
         F.percentile_approx(id_col, probs, 10_000).alias("_bounds")
     ).withColumnRenamed(strata_col, "_strat_b")
+    bounds = df.sparkSession.createDataFrame(
+        bounds_lazy.collect(), schema=bounds_lazy.schema
+    )
     tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+
+    # bucket = #{b in _bounds : id > b}, by BINARY SEARCH over the sorted
+    # bounds as a nested CASE WHEN tree (log2 codegen'd comparisons per
+    # row). The obvious higher-order form — F.aggregate(_bounds, 0,
+    # acc + when(id > x, 1)) — is evaluated as an interpreted lambda per
+    # element: measured 37 s vs a 0.46 s bare scan on 32 M rows (VERDICT
+    # r04 #6). But the tree must stay SMALL: a single when-expression of
+    # 63 nodes (depth-6 tree / flat chained sum / balanced-add sum) falls
+    # out of whole-stage codegen — measured 16 s / 114 s / 85 s per scan
+    # at 32 M rows — while ≤31 nodes costs ~1 s over the bare scan. So:
+    # ≤32 buckets → one static tree; more → a chained-when BLOCK selector
+    # (linear code, one comparison per 32-bucket block) projected first,
+    # then one depth-5 tree probing at a dynamic offset (measured 5.0 s
+    # vs 2.8 s bare at 64 buckets). Ties/duplicated bounds (heavy id
+    # skew) stay monotone; a NULL id falls through every when to bucket 0
+    # (same as the old form's sum of 0s); an out-of-range probe (past the
+    # array on a partial last block) must be try_element_at — plain
+    # element_at THROWS under ANSI mode (Spark 4 default) — and yields
+    # NULL → "not greater" → the search stays in range.
+    def _tree(lo: int, hi: int, off):  # bucket-in-block range [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        # bkt >= mid  <=>  id > sorted_bounds[mid]  (element_at is 1-based)
+        return F.when(
+            F.col(id_col) > F.try_element_at(F.col("_bounds"), F.lit(mid) + off),
+            _tree(mid, hi, off),
+        ).otherwise(_tree(lo, mid - 1, off))
+
     src = df.join(
         F.broadcast(bounds), F.col(strata_col).eqNullSafe(F.col("_strat_b"))
-    ).drop("_strat_b").withColumn(
-        "_bkt",
-        F.aggregate(
-            F.col("_bounds"),
-            F.lit(0),
-            lambda acc, x: acc + F.when(F.col(id_col) > x, 1).otherwise(0),
-        ),
-    )
+    ).drop("_strat_b")
+    if n_buckets <= 32:
+        src = src.withColumn("_bkt", _tree(0, n_buckets - 1, 0))
+    else:
+        blk = F.lit(0)
+        for b in range(32, n_buckets, 32):
+            blk = F.when(F.col(id_col) > F.element_at(F.col("_bounds"), b), b).otherwise(blk)
+        src = (
+            src.withColumn("_blk", blk)
+            .withColumn("_bkt", F.col("_blk") + _tree(0, 31, F.col("_blk")))
+            .drop("_blk")
+        )
     sums = src.groupBy(strata_col, "_bkt").agg(F.sum(tok).alias("_tok"))
     wb = Window.partitionBy(strata_col).orderBy("_bkt")
-    cums = (
+    cums_lazy = (
         sums.withColumn("_cum_end", F.sum("_tok").over(wb))
         .withColumn("_cum_start", F.col("_cum_end") - F.col("_tok"))
         .select(
@@ -231,6 +273,12 @@ def cap_tokens_per_stratum(
             "_cum_end",
         )
     )
+    # materialize the per-(stratum, bucket) cumsum frame too (≤ n_strata ×
+    # n_buckets rows): the final plan is a UNION of two branches over the
+    # cums join, and a lazy cums re-runs the full-frame `sums` aggregation
+    # (scan + shuffle) inside EACH branch — exchange reuse dies under
+    # column pruning (CLAUDE.md), so this is 2 extra full passes at scale
+    cums = df.sparkSession.createDataFrame(cums_lazy.collect(), schema=cums_lazy.schema)
     j = src.join(
         F.broadcast(cums),
         F.col(strata_col).eqNullSafe(F.col("_strat_c")) & (F.col("_bkt") == F.col("_bkt_c")),

@@ -831,11 +831,15 @@ def test_ngram_repetition_gopher_signals(spark):
     assert out[0][1] > 0.8 and out[1][1] == 0.0
 
 
-def test_cap_tokens_per_stratum_matches_prefix_reference(spark):
+@pytest.mark.parametrize("n_buckets", [16, 48, 64])
+def test_cap_tokens_per_stratum_matches_prefix_reference(spark, n_buckets):
     """Token-budget capping vs a plain-pandas prefix reference on skewed
     strata: exact prefix semantics (row kept iff running total incl.
     itself fits), boundary mid-bucket, fully-fitting stratum, a stratum
-    whose first row already overflows, and NULL tokens as 0."""
+    whose first row already overflows, and NULL tokens as 0. Parametrized
+    over the bucket-assignment codegen paths: 16 = single static tree,
+    48 = block selector + dynamic tree with a PARTIAL last block
+    (out-of-range element_at probes), 64 = block selector, full blocks."""
     import random
 
     from pyspark.sql import functions as F
@@ -856,7 +860,9 @@ def test_cap_tokens_per_stratum_matches_prefix_reference(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int").repartition(8)
     got = {
         (r["source"], r["doc_id"])
-        for r in cap_tokens_per_stratum(df, "doc_id", "source", "n_tok", budget).collect()
+        for r in cap_tokens_per_stratum(
+            df, "doc_id", "source", "n_tok", budget, n_buckets=n_buckets
+        ).collect()
     }
 
     expect = set()

@@ -14,8 +14,21 @@ per-executor (nothing shared between executors), which this harness
 reproduces — so its ratio, not the single-JVM thread ratio, is the honest
 stand-in for the rule's two-cluster-size criterion.
 
-Usage: python tools/bench_executors.py [n_rows] [--reps 2]
-Writes BENCH_executors.json.
+Jobs:
+  urls  — distinct-URL ingest (short values, scan-weighted)
+  texts — distinct-TEXT ingest (~280 B values, Arrow-transfer-bound:
+          the no-op bridge pass is 70-80% of this job's wall, so it is
+          the worst case for the shared-bridge artifact and the one the
+          executor model must clear; VERDICT r04 #8)
+
+Sessions ACCUMULATE per job in BENCH_executors_<job>.json (the shared box
+means single sessions are load-contaminated; ambient load only ever ADDS
+time, so the cross-session MIN-merge — min single wall over sessions vs
+min level-4 wall over sessions — is the least-contaminated estimate of
+each level; see CLAUDE.md). The r4 urls history lives in
+BENCH_executors.json and is left untouched.
+
+Usage: python tools/bench_executors.py [n_rows] [urls|texts]
 """
 
 from __future__ import annotations
@@ -28,6 +41,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+JOB = sys.argv[2] if len(sys.argv) > 2 else "urls"
+assert JOB in ("urls", "texts"), JOB
 REPS = 2
 
 # Each executor subprocess: local[2] pinned to 2 cores, folds its file
@@ -42,6 +57,7 @@ from phphll_spark.functions import hll_sketch
 
 files = sys.argv[1].split(",")
 reps = int(sys.argv[2])
+col = sys.argv[3]
 spark = (SparkSession.builder.master("local[2]")
          .config("spark.sql.shuffle.partitions", "2")
          .config("spark.driver.memory", "12g")
@@ -53,8 +69,8 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, 8, numPartitions=2).mapInPandas(lambda it: it, schema="id long").count()
 
 def job():
-    df = spark.read.parquet(*files).select("url")
-    return bytes(hll_sketch(df, [], "url").collect()[0]["sketch"])
+    df = spark.read.parquet(*files).select(col)
+    return bytes(hll_sketch(df, [], col).collect()[0]["sketch"])
 
 blob = job()  # warm
 best = float("inf")
@@ -64,10 +80,12 @@ print(json.dumps({{"wall": best, "blob": blob.hex()}}))
 spark.stop()
 """.format(repo=REPO)
 
+COL = {"urls": "url", "texts": "text"}[JOB]
 
-def run_executor(pin: str, files: list[str], out: dict, key: str) -> subprocess.Popen:
+
+def run_executor(pin: str, files: list[str]) -> subprocess.Popen:
     return subprocess.Popen(
-        ["taskset", "-c", pin, sys.executable, "-c", RUNNER, ",".join(files), str(REPS)],
+        ["taskset", "-c", pin, sys.executable, "-c", RUNNER, ",".join(files), str(REPS), COL],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
 
@@ -81,18 +99,17 @@ def main() -> None:
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
     )
     assert len(files) % 4 == 0, f"need a multiple of 4 files, got {len(files)}"
+    loadavg = os.getloadavg()[0]
 
     # level 1: ONE executor (2 cores) over all files
-    p = run_executor("0-1", files, {}, "single")
+    p = run_executor("0-1", files)
     single = json.loads(p.stdout.read().splitlines()[-1])
     assert p.wait() == 0
 
     # level 2: FOUR executors (2 cores each, disjoint pins) over 4 slices,
     # launched concurrently; level wall = max over executors + local merge
     slices = [files[i::4] for i in range(4)]
-    procs = [
-        run_executor(f"{2*i}-{2*i+1}", slices[i], {}, f"ex{i}") for i in range(4)
-    ]
+    procs = [run_executor(f"{2*i}-{2*i+1}", slices[i]) for i in range(4)]
     outs = []
     for p in procs:
         outs.append(json.loads(p.stdout.read().splitlines()[-1]))
@@ -107,23 +124,45 @@ def main() -> None:
 
     wall1 = single["wall"]
     wall4 = max(o["wall"] for o in outs) + merge_sec
-    eff = (wall1 / wall4) / 4
-    rec = {
-        "rows": N_ROWS,
-        "job": "global distinct urls (partial fold + merge)",
-        "level_1_executor_2cores": {"wall_sec": round(wall1, 3)},
-        "level_4_executors_2cores_each": {
-            "wall_sec": round(wall4, 3),
-            "per_executor": [round(o["wall"], 3) for o in outs],
-            "merge_sec": round(merge_sec, 4),
-        },
-        "estimate": est1,
-        "speedup": round(wall1 / wall4, 3),
-        "efficiency": round(eff, 3),
+    session = {
+        "single_2core_wall": round(wall1, 3),
+        "four_exec_walls": [round(o["wall"], 3) for o in outs],
+        "merge_sec": round(merge_sec, 4),
+        "efficiency": round(wall1 / wall4 / 4, 3),
+        "loadavg_1m": round(loadavg, 2),
     }
-    with open(os.path.join(REPO, "BENCH_executors.json"), "w") as f:
+
+    path = os.path.join(REPO, f"BENCH_executors_{JOB}.json")
+    rec = (
+        json.load(open(path))
+        if os.path.exists(path)
+        else {
+            "rows": N_ROWS,
+            "job": f"global distinct {JOB} (partial fold + merge), executor model",
+            "model": (
+                "each executor = own JVM + own Python workers pinned to its own "
+                "2 host cores, disjoint file slices; level wall = max over "
+                "concurrent executors + driver merge; warm steady-state, "
+                "min-of-2 reps inside each executor"
+            ),
+            "sessions": [],
+        }
+    )
+    assert rec["rows"] == N_ROWS, "mixing row counts in one record"
+    rec["sessions"].append(session)
+    best1 = min(s["single_2core_wall"] for s in rec["sessions"])
+    best4 = min(max(s["four_exec_walls"]) + s.get("merge_sec", 0) for s in rec["sessions"])
+    rec["cross_session_min_merge"] = {
+        "single": best1,
+        "four_exec_max_wall": round(best4, 3),
+        "speedup": round(best1 / best4, 3),
+        "efficiency": round(best1 / best4 / 4, 3),
+    }
+    rec["best_session_efficiency"] = max(s["efficiency"] for s in rec["sessions"])
+    rec["estimate"] = est1
+    with open(path, "w") as f:
         json.dump(rec, f, indent=2)
-    print(json.dumps(rec, indent=2))
+    print(json.dumps({"session": session, "min_merge": rec["cross_session_min_merge"]}, indent=2))
 
 
 if __name__ == "__main__":
