@@ -399,6 +399,7 @@ def dedup_minhash(
     seed: int = 42,
     max_bucket_size: int | None = None,
     sig_prefilter_sigmas: float | None = 6.0,
+    broadcast_pair_limit: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup pairs verified by exact shingle-Jaccard >= threshold.
 
@@ -422,6 +423,15 @@ def dedup_minhash(
     pairs that hit one band by chance: P = 1-(1-s^4)^16 is ~12% at
     s=0.3). Set ``sig_prefilter_sigmas=None`` to disable.
 
+    ``broadcast_pair_limit``: candidate-pair counts above this switch the
+    prefilter joins from broadcast-pinned (pairs as build side, signature
+    frame streamed map-side) to a shuffle plan over candidate-only
+    signatures — same output, no unbounded broadcast build. Boilerplate-
+    heavy corpora without a ``max_bucket_size`` cap can produce hundreds
+    of millions of in-bucket pairs (measured 235 M on a 5 M-doc synthetic
+    web corpus whose hottest bucket held 3,548 docs), and broadcasting
+    that frame is a guaranteed OOM.
+
     Scale note: EXACT duplicates all land in the same buckets, so a
     cluster of k byte-identical docs contributes k(k-1)/2 candidate
     pairs. At web scale run ``dedup_exact_keep`` first (hash-agg, one
@@ -437,9 +447,19 @@ def dedup_minhash(
         .select(id_col, "minhash")
         .persist()
     )
-    pairs = _candidate_pairs_from_sigs(
-        sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
+    pairs = _register_cache(
+        _candidate_pairs_from_sigs(
+            sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
+        ).persist()
     )
+    # materialize the candidate count once (the frame is persisted and
+    # consumed again below): it picks the prefilter plan. Boilerplate-
+    # heavy corpora produce LSH buckets of thousands of docs — measured
+    # 235 M in-bucket pairs on a 5 M-doc synthetic web corpus — and
+    # broadcasting a pair frame that size (x0.5 KB signatures in the
+    # first join's build side) is a guaranteed driver/executor OOM, so
+    # the broadcast pin must be conditional, not a comment.
+    n_pairs = pairs.count()
     if sig_prefilter_sigmas is not None:
         sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
         k_min = max(0, math.ceil((threshold - sig_prefilter_sigmas * sigma) * num_hashes))
@@ -448,21 +468,43 @@ def dedup_minhash(
             F.lit(0),
             lambda acc, v: acc + v,
         )
-        # the candidate-pair frame (tiny after banding) is the BROADCAST
-        # side of both signature joins, so the corpus-sized persisted
-        # signature frame is streamed map-side and never exchanged
-        # (VERDICT r03 #3; plan-gated in tests/test_plans.py). If a
-        # pathological corpus ever produced a pair frame too big to
-        # broadcast, drop the hints and let AQE pick sides at runtime.
         sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("m_a"))
         sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("m_b"))
-        with_a = sig_a.join(F.broadcast(pairs), "id_a")
-        pairs = (
-            sig_b.join(F.broadcast(with_a), "id_b")
-            .filter(matches >= F.lit(int(k_min)))
-            .select("id_a", "id_b")
-        )
-    pairs = _register_cache(pairs.persist())
+        if n_pairs <= broadcast_pair_limit:
+            # the candidate-pair frame (small after banding) is the
+            # BROADCAST side of both signature joins, so the corpus-sized
+            # persisted signature frame is streamed map-side and never
+            # exchanged (VERDICT r03 #3; plan-gated in tests/test_plans.py)
+            with_a = sig_a.join(F.broadcast(pairs), "id_a")
+            pairs = (
+                sig_b.join(F.broadcast(with_a), "id_b")
+                .filter(matches >= F.lit(int(k_min)))
+                .select("id_a", "id_b")
+            )
+        else:
+            # pair frame too big to broadcast (degenerate/boilerplate
+            # corpus without a max_bucket_size cap): shuffle-join it with
+            # the signatures of ONLY the candidate ids — the semi-join
+            # narrows the corpus-sized signature frame before anything
+            # wide shuffles. Distributed and spill-safe (no broadcast
+            # build of an unbounded frame); for production corpora set
+            # max_bucket_size so the broadcast regime applies instead.
+            cand = (
+                pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            csigs = sigs.join(cand, id_col, "left_semi")
+            sig_a = csigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("m_a"))
+            sig_b = csigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("m_b"))
+            pairs = (
+                pairs.join(sig_a, "id_a")
+                .join(sig_b, "id_b")
+                .filter(matches >= F.lit(int(k_min)))
+                .select("id_a", "id_b")
+            )
+    if sig_prefilter_sigmas is not None:  # else already persisted above
+        pairs = _register_cache(pairs.persist())
     # shingle ONLY the docs that appear in surviving candidate pairs — at
     # scale (and after the prefilter) that set is orders of magnitude
     # smaller than the corpus
@@ -502,6 +544,7 @@ def dedup_minhash_keep(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    broadcast_pair_limit: int = 2_000_000,
 ) -> DataFrame:
     """The materialized near-dup dedup: drop every row that near-matches a
     LOWER-id row, keep the rest (all original columns).
@@ -523,6 +566,7 @@ def dedup_minhash_keep(
         shingle_k=shingle_k,
         seed=seed,
         max_bucket_size=max_bucket_size,
+        broadcast_pair_limit=broadcast_pair_limit,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

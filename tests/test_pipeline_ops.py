@@ -159,6 +159,27 @@ def test_dedup_minhash_sig_prefilter_preserves_pairs(spark, neardup_docs):
     assert with_pref == without and len(with_pref) >= 20
 
 
+def test_dedup_minhash_shuffle_prefilter_same_pairs(spark, neardup_docs):
+    """The adaptive prefilter's shuffle regime (taken when the candidate-
+    pair frame exceeds broadcast_pair_limit — the anti-OOM path for
+    boilerplate-heavy corpora) must produce the identical verified pair
+    set as the broadcast-pinned regime. Forced here with limit=0."""
+    kw = dict(threshold=0.7, num_hashes=64, bands=16)
+    broadcast_path = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup_minhash(neardup_docs, "doc_id", "text", **kw).collect()
+    )
+    release_cached(spark)
+    shuffle_path = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup_minhash(
+            neardup_docs, "doc_id", "text", broadcast_pair_limit=0, **kw
+        ).collect()
+    )
+    release_cached(spark)
+    assert broadcast_path == shuffle_path and len(shuffle_path) >= 20
+
+
 def test_ngram_jaccard_exact_baseline(spark, neardup_docs):
     got = {
         (r["id_a"], r["id_b"])
