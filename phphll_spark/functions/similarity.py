@@ -177,14 +177,21 @@ def _minhash_from_buffers(
     num_hashes: int,
     shingle_k: int,
     seed: int = 42,
+    unit: str = "char",
 ) -> np.ndarray:
     """(n_docs, num_hashes) int64 MinHash signature matrix for a batch.
 
     One murmur64a pass over every shingle of every doc, then ``num_hashes``
     affine transforms each reduced per-doc with np.minimum.reduceat. Empty
-    docs get all-max signatures (match nothing).
+    docs get all-max signatures (match nothing). ``unit``: "char" (k
+    code-point windows) or "word" (k consecutive words of NORMALIZED
+    single-space text — the web-dedup shingle; see with_hashed_shingles).
     """
-    starts, wlens, counts = _char_shingle_windows_from_buffers(buf, doc_off, doc_lens, shingle_k)
+    window_fn = {
+        "char": _char_shingle_windows_from_buffers,
+        "word": _word_shingle_windows_from_buffers,
+    }[unit]
+    starts, wlens, counts = window_fn(buf, doc_off, doc_lens, shingle_k)
     n = len(doc_lens)
     sig = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
     if counts.sum() == 0:
@@ -268,9 +275,12 @@ def with_minhash(
     shingle_k: int = 5,
     seed: int = 42,
     out_col: str = "minhash",
+    unit: str = "char",
 ) -> DataFrame:
     """Append an ``array<long>`` MinHash signature column (mapInArrow,
-    narrow — no shuffle; shingles hashed straight out of Arrow buffers)."""
+    narrow — no shuffle; shingles hashed straight out of Arrow buffers).
+    ``unit="word"`` REQUIRES normalized (single-space) text — see
+    with_hashed_shingles."""
     import pyarrow as pa
 
     fields = list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
@@ -281,7 +291,7 @@ def with_minhash(
             if rb.num_rows == 0:
                 continue
             buf, off, lens = _arrow_doc_buffers(rb.column(rb.schema.get_field_index(text_col)))
-            sig = _minhash_from_buffers(buf, off, lens, num_hashes, shingle_k, seed)
+            sig = _minhash_from_buffers(buf, off, lens, num_hashes, shingle_k, seed, unit=unit)
             col = pa.ListArray.from_arrays(
                 pa.array(np.arange(rb.num_rows + 1, dtype=np.int32) * num_hashes),
                 pa.array(sig.ravel()),

@@ -400,6 +400,7 @@ def dedup_minhash(
     max_bucket_size: int | None = None,
     sig_prefilter_sigmas: float | None = 6.0,
     broadcast_pair_limit: int = 2_000_000,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """Near-dup pairs verified by exact shingle-Jaccard >= threshold.
 
@@ -432,6 +433,17 @@ def dedup_minhash(
     web corpus whose hottest bucket held 3,548 docs), and broadcasting
     that frame is a guaranteed OOM.
 
+    ``shingle_unit``: "char" (k code-point shingles — the oracle-paired
+    default) or "word" (k consecutive words of normalized text — the
+    Lee-et-al/web-production shingle). Word shingles are the scale
+    setting for boilerplate-heavy corpora: char 5-grams of shared
+    phrases ("all rights reserved") correlate minhashes between
+    UNRELATED docs and inflate LSH candidates by orders of magnitude,
+    while word 5-gram collisions essentially require real shared
+    phrases. Both signature and verification shingles use the same
+    unit over the same normalized text, so the verified Jaccard
+    semantics stay internally consistent.
+
     Scale note: EXACT duplicates all land in the same buckets, so a
     cluster of k byte-identical docs contributes k(k-1)/2 candidate
     pairs. At web scale run ``dedup_exact_keep`` first (hash-agg, one
@@ -442,8 +454,18 @@ def dedup_minhash(
     C(n,2) pairs inside one task."""
     release_cached(df.sparkSession)  # previous operator's cache is no longer needed
     src0 = _with_min_parallelism(df.select(id_col, text_col))
+    if shingle_unit == "word":
+        # word windows require normalized (single-space) text; char mode
+        # keeps signatures over raw text (candidate recall only — the
+        # verification Jaccard is over normalized text in both modes)
+        sig_src, sig_col = src0.withColumn("_mh_norm", normalized_text(text_col)), "_mh_norm"
+    else:
+        sig_src, sig_col = src0, text_col
     sigs = _register_cache(
-        with_minhash(src0, text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+        with_minhash(
+            sig_src, sig_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, seed=seed, unit=shingle_unit,
+        )
         .select(id_col, "minhash")
         .persist()
     )
@@ -523,7 +545,8 @@ def dedup_minhash(
     # shingles up to 64-bit collisions, ~10x faster than building JVM
     # substring arrays per doc (validated vs char_shingles in tests)
     sh = with_hashed_shingles(
-        src.withColumn("_norm", normalized_text(text_col)), "_norm", shingle_k=shingle_k
+        src.withColumn("_norm", normalized_text(text_col)), "_norm",
+        shingle_k=shingle_k, unit=shingle_unit,
     ).select(F.col(id_col), F.col("shingle_hashes").alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -545,6 +568,7 @@ def dedup_minhash_keep(
     seed: int = 42,
     max_bucket_size: int | None = None,
     broadcast_pair_limit: int = 2_000_000,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """The materialized near-dup dedup: drop every row that near-matches a
     LOWER-id row, keep the rest (all original columns).
@@ -567,6 +591,7 @@ def dedup_minhash_keep(
         seed=seed,
         max_bucket_size=max_bucket_size,
         broadcast_pair_limit=broadcast_pair_limit,
+        shingle_unit=shingle_unit,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -180,6 +180,24 @@ def test_dedup_minhash_shuffle_prefilter_same_pairs(spark, neardup_docs):
     assert broadcast_path == shuffle_path and len(shuffle_path) >= 20
 
 
+def test_dedup_minhash_word_shingles(spark, neardup_docs):
+    """shingle_unit='word' (the web-production Lee-et-al shingle): the
+    planted adjacent-id near-dups are still found, pairs carry word-level
+    Jaccard, and no cross-pair false positives appear. Word shingles of
+    short docs are k-word windows over NORMALIZED text, so casing and
+    extra whitespace do not split a pair."""
+    pairs = dedup_minhash(
+        neardup_docs, "doc_id", "text",
+        threshold=0.5, num_hashes=64, bands=16, shingle_k=3, shingle_unit="word",
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert want <= got, sorted(want - got)
+    assert all(b - a == 1 and a % 2 == 0 for a, b in got)
+    for r in pairs:
+        assert r["jaccard_sim"] >= 0.5
+
+
 def test_ngram_jaccard_exact_baseline(spark, neardup_docs):
     got = {
         (r["id_a"], r["id_b"])
