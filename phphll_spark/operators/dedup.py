@@ -327,9 +327,10 @@ def minhash_candidate_pairs(
     dedup_minhash)."""
     src = _with_min_parallelism(df.select(id_col, text_col))
     sigs = with_minhash(src, text_col, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
-    return _candidate_pairs_from_sigs(
+    pairs, _ = _candidate_pairs_from_sigs(
         sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
     )
+    return pairs
 
 
 def _candidate_pairs_from_sigs(
@@ -339,10 +340,12 @@ def _candidate_pairs_from_sigs(
     num_hashes: int,
     bands: int,
     max_bucket_size: int | None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Banding → bucketing → in-bucket pair expansion over a precomputed
     (id, minhash) frame — split out so ``dedup_minhash`` can persist the
-    signatures and reuse them for the agreement prefilter."""
+    signatures and reuse them for the agreement prefilter. Returns
+    (pairs, est_pairs) where est_pairs ≥ the distinct pair count (the
+    capped in-bucket pair sum — used for prefilter plan choice)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     banded = sigs.select(
@@ -354,17 +357,58 @@ def _candidate_pairs_from_sigs(
             )
         ).alias("band", "band_sig"),
     ).select(id_col, "band", F.hash(F.col("band"), F.col("band_sig")).alias("bucket"))
+    # the bucket-size pre-pass and the collect both consume the banded
+    # rows; persist them (3 longs/row) so the narrow signature stage
+    # isn't recomputed per aggregate
+    banded = _register_cache(banded.persist())
+    # ONE lightweight job over the persisted banded rows prices the
+    # candidate set AND collects the oversized-bucket keys together:
+    # sum of C(min(bucket, cap), 2) is an upper bound on in-bucket pairs
+    # pre-distinct (so ≥ the distinct pair count), which dedup_minhash
+    # uses to pick the prefilter plan WITHOUT a separate count job on
+    # the pair frame; the > cap keys (≤ bands·n/cap by construction)
+    # come back in the same action as a literal InSet filter, so the
+    # collect job never re-aggregates bucket sizes (the former broadcast
+    # anti-join re-derived them in-plan — measured ~0.9 s extra at
+    # sf0.1). Key = band << 32 | bucket-as-uint32 (bucket is a 32-bit
+    # hash; band < 2^31 — exact, no collisions).
+    key = F.shiftleft(F.col("band").cast("long"), 32) + (
+        F.col("bucket").cast("long") + F.lit(1 << 32)
+    ) % F.lit(1 << 32)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     if max_bucket_size is not None:
-        # the count pre-pass and the collect both consume the banded rows;
-        # persist them (3 longs/row) so the narrow signature stage isn't
-        # recomputed per aggregate
-        banded = _register_cache(banded.persist())
-    grouped = _grouped_buckets(banded, ["band", "bucket"], id_col, max_bucket_size)
-    return (
+        capped = F.least(F.col("_n"), F.lit(max_bucket_size))
+        summary = sizes.agg(
+            F.coalesce(F.sum(capped * (capped - 1) / 2), F.lit(0.0)).alias("est"),
+            F.collect_list(F.when(F.col("_n") > max_bucket_size, key)).alias("over"),
+        ).first()
+        est_pairs, oversized = int(summary["est"]), list(summary["over"])
+    else:
+        est_pairs = int(
+            sizes.agg(
+                F.coalesce(F.sum(F.col("_n") * (F.col("_n") - 1) / 2), F.lit(0.0))
+            ).first()[0]
+        )
+        oversized = []
+    rows = banded
+    if 0 < len(oversized) <= 100_000:
+        rows = rows.filter(~key.isin(oversized))
+    elif len(oversized) > 100_000:
+        # a corpus with >100k oversized buckets would make the literal
+        # InSet expression itself the bottleneck — anti-join instead
+        over_df = banded.sparkSession.createDataFrame(
+            [(k,) for k in oversized], "_over_key long"
+        )
+        rows = rows.join(
+            F.broadcast(over_df), key == F.col("_over_key"), "left_anti"
+        )
+    grouped = _grouped_buckets(rows, ["band", "bucket"], id_col, None)
+    pairs = (
         grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    return pairs, est_pairs
 
 
 def _with_min_parallelism(df: DataFrame) -> DataFrame:
@@ -469,19 +513,17 @@ def dedup_minhash(
         .select(id_col, "minhash")
         .persist()
     )
-    pairs = _register_cache(
-        _candidate_pairs_from_sigs(
-            sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
-        ).persist()
+    # est_pairs (≥ the distinct candidate count, priced by ONE lightweight
+    # job inside _candidate_pairs_from_sigs) picks the prefilter plan.
+    # Boilerplate-heavy corpora produce LSH buckets of thousands of docs
+    # — measured 235 M in-bucket pairs on a 5 M-doc synthetic web corpus
+    # — and broadcasting a pair frame that size (x0.5 KB signatures in
+    # the first join's build side) is a guaranteed driver/executor OOM,
+    # so the broadcast pin must be conditional, not a comment.
+    pairs, n_pairs = _candidate_pairs_from_sigs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
     )
-    # materialize the candidate count once (the frame is persisted and
-    # consumed again below): it picks the prefilter plan. Boilerplate-
-    # heavy corpora produce LSH buckets of thousands of docs — measured
-    # 235 M in-bucket pairs on a 5 M-doc synthetic web corpus — and
-    # broadcasting a pair frame that size (x0.5 KB signatures in the
-    # first join's build side) is a guaranteed driver/executor OOM, so
-    # the broadcast pin must be conditional, not a comment.
-    n_pairs = pairs.count()
+    pairs = _register_cache(pairs.persist())
     if sig_prefilter_sigmas is not None:
         sigma = math.sqrt(threshold * (1.0 - threshold) / num_hashes)
         k_min = max(0, math.ceil((threshold - sig_prefilter_sigmas * sigma) * num_hashes))

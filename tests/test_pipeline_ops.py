@@ -634,10 +634,11 @@ def test_cap_per_stratum_skewed_no_single_task_sort(spark):
 
 def test_minhash_bucket_guard_drops_before_collect(spark):
     """VERDICT r02 #3: with max_bucket_size set, a degenerate bucket (10k
-    byte-identical docs -> one giant (band,bucket) cell) is anti-joined
-    out BEFORE collect_list, so the guard bounds agg-buffer memory. The
-    anti-join must be broadcast (map-side) so the bucket rows still reach
-    the collect through one shuffle."""
+    byte-identical docs -> one giant (band,bucket) cell) is dropped
+    BEFORE collect_list, so the guard bounds agg-buffer memory. The drop
+    is a map-side Filter on the oversized-key set (collected in the same
+    single pricing job that estimates the candidate count — no join, no
+    second bucket-size aggregation in the collect plan)."""
     from pyspark.sql import functions as F
 
     from phphll_spark.operators import minhash_candidate_pairs, release_cached
@@ -656,9 +657,10 @@ def test_minhash_bucket_guard_drops_before_collect(spark):
     with contextlib.redirect_stdout(buf):
         pairs.explain("simple")
     plan = buf.getvalue()
-    assert "LeftAnti" in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # the oversized-key drop is a pure Filter on the banded rows (the
+    # key expr is shiftleft(band,32)|bucket), upstream of the collect
+    assert "shiftleft" in plan and "Filter" in plan, plan
+    assert "Join" not in plan, plan  # no join of any kind in the guard
     # every doc lands in the same buckets -> all buckets oversized -> no pairs
     assert pairs.count() == 0
     release_cached(spark)

