@@ -361,21 +361,34 @@ def _candidate_pairs_from_sigs(
     # rows; persist them (3 longs/row) so the narrow signature stage
     # isn't recomputed per aggregate
     banded = _register_cache(banded.persist())
-    # ONE lightweight job over the persisted banded rows prices the
-    # candidate set AND collects the oversized-bucket keys together:
-    # sum of C(min(bucket, cap), 2) is an upper bound on in-bucket pairs
-    # pre-distinct (so ≥ the distinct pair count), which dedup_minhash
-    # uses to pick the prefilter plan WITHOUT a separate count job on
-    # the pair frame; the > cap keys (≤ bands·n/cap by construction)
-    # come back in the same action as a literal InSet filter, so the
-    # collect job never re-aggregates bucket sizes (the former broadcast
-    # anti-join re-derived them in-plan — measured ~0.9 s extra at
-    # sf0.1). Key = band << 32 | bucket-as-uint32 (bucket is a 32-bit
-    # hash; band < 2^31 — exact, no collisions).
-    key = F.shiftleft(F.col("band").cast("long"), 32) + (
-        F.col("bucket").cast("long") + F.lit(1 << 32)
+    return _priced_pairs(banded, "band", "bucket", id_col, max_bucket_size)
+
+
+def _priced_pairs(
+    rows: DataFrame,
+    c0: str,
+    c1: str,
+    id_col: str,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, int]:
+    """Bucketed in-group pair expansion with a PRICED candidate set,
+    shared by the MinHash (band, bucket) and SimHash (chunk_idx, chunk)
+    blockers. ONE lightweight job over ``rows`` (caller persists them or
+    derives them narrowly from a persisted frame) prices the candidates
+    AND collects the oversized-bucket keys together: sum of
+    C(min(bucket, cap), 2) is an upper bound on in-bucket pairs
+    pre-distinct (so ≥ the distinct pair count), which callers use to
+    pick broadcast-vs-shuffle verification plans WITHOUT a separate
+    count job on the pair frame; the > cap keys (≤ buckets·n/cap by
+    construction) come back in the same action as a literal InSet
+    filter, so the collect job never re-aggregates bucket sizes (the
+    former broadcast anti-join re-derived them in-plan — measured
+    ~0.9 s extra at sf0.1). Key = c0 << 32 | c1-as-uint32 (both 32-bit
+    ints — exact, no collisions)."""
+    key = F.shiftleft(F.col(c0).cast("long"), 32) + (
+        F.col(c1).cast("long") + F.lit(1 << 32)
     ) % F.lit(1 << 32)
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    sizes = rows.groupBy(c0, c1).agg(F.count("*").alias("_n"))
     if max_bucket_size is not None:
         capped = F.least(F.col("_n"), F.lit(max_bucket_size))
         summary = sizes.agg(
@@ -390,19 +403,18 @@ def _candidate_pairs_from_sigs(
             ).first()[0]
         )
         oversized = []
-    rows = banded
     if 0 < len(oversized) <= 100_000:
         rows = rows.filter(~key.isin(oversized))
     elif len(oversized) > 100_000:
         # a corpus with >100k oversized buckets would make the literal
         # InSet expression itself the bottleneck — anti-join instead
-        over_df = banded.sparkSession.createDataFrame(
+        over_df = rows.sparkSession.createDataFrame(
             [(k,) for k in oversized], "_over_key long"
         )
         rows = rows.join(
             F.broadcast(over_df), key == F.col("_over_key"), "left_anti"
         )
-    grouped = _grouped_buckets(rows, ["band", "bucket"], id_col, None)
+    grouped = _grouped_buckets(rows, [c0, c1], id_col, None)
     pairs = (
         grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -680,6 +692,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle_k: int = 4,
     max_bucket_size: int | None = None,
+    broadcast_pair_limit: int = 8_000_000,
 ) -> DataFrame:
     """SimHash near-dups with Hamming distance <= max_hamming (<=3).
 
@@ -711,19 +724,24 @@ def simhash_near_dup_pairs(
             F.array(*[(F.shiftrightunsigned(F.col("simhash"), s) % F.lit(65536)).cast("int") for s in (0, 16, 32, 48)])
         ).alias("chunk_idx", "chunk"),
     )
-    grouped = _grouped_buckets(chunks, ["chunk_idx", "chunk"], id_col, max_bucket_size)
-    pairs = (
-        grouped.select(F.explode(_pairs_within_group(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    # chunks is a narrow projection of the persisted fingerprints, so the
+    # pricing job and the collect both re-derive it cheaply from cache
+    pairs, est_pairs = _priced_pairs(chunks, "chunk_idx", "chunk", id_col, max_bucket_size)
     fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    # pairs (and pairs+sh_a) stay the broadcast side of both joins: the
-    # corpus-sized fingerprint frame is streamed, never shuffled
-    with_a = fa.join(F.broadcast(pairs), "id_a")
+    if est_pairs <= broadcast_pair_limit:
+        # pairs (and pairs+sh_a) stay the broadcast side of both joins:
+        # the corpus-sized fingerprint frame is streamed, never shuffled
+        with_a = fa.join(F.broadcast(pairs), "id_a")
+        joined = fb.join(F.broadcast(with_a), "id_b")
+    else:
+        # candidate set too big to broadcast (same anti-OOM regime as
+        # dedup_minhash; the limit is higher here because the build rows
+        # carry one int64 fingerprint, not a 0.5 KB signature array) —
+        # shuffle joins, fingerprints are 8 B/row so this scales
+        joined = pairs.join(fa, "id_a").join(fb, "id_b")
     return (
-        fb.join(F.broadcast(with_a), "id_b")
+        joined
         .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

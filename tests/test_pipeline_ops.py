@@ -214,6 +214,24 @@ def test_simhash_near_dups(spark, neardup_docs):
     assert not (got - planted)
 
 
+def test_simhash_shuffle_verify_same_pairs(spark, neardup_docs):
+    """The adaptive verify's shuffle regime (candidate estimate above
+    broadcast_pair_limit — the anti-OOM path, same mechanism as
+    dedup_minhash) returns the identical pair set as the broadcast-pinned
+    regime. Forced with limit=0."""
+    broad = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(neardup_docs, "doc_id", "text", max_hamming=3).collect()
+    )
+    shuf = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            neardup_docs, "doc_id", "text", max_hamming=3, broadcast_pair_limit=0
+        ).collect()
+    )
+    assert broad == shuf and len(shuf) >= 12
+
+
 def test_simhash_deterministic_and_partition_invariant(spark, neardup_docs):
     a = {r["doc_id"]: r["simhash"] for r in with_simhash(neardup_docs, "text").collect()}
     b = {
